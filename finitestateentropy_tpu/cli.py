@@ -1,0 +1,120 @@
+"""Command-line interface — flag-compatible with the reference `fse` CLI
+(programs/commandline.c:94-109) plus TPU-specific options.
+
+  fse-tpu [-e|-h] [-d] [-t] [-b] [-B#] [-f] [-v|-q] input [output]
+  extra:  --device {host,tpu}   compute path (default: tpu if available)
+          --mesh N              data-parallel mesh size for batch compression
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from .config import FIO_BLOCKSIZEID_DEFAULT
+from .errors import FSEError
+
+FSE_EXTENSION = ".fse"
+
+
+def _block_size_to_id(bsize: int) -> int:
+    bid = 0
+    while (1 << (10 + bid)) < bsize and bid < 6:
+        bid += 1
+    return bid
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fse-tpu", add_help=False)
+    p.add_argument("-e", dest="codec", action="store_const", const="fse", help="use FSE (default)")
+    p.add_argument("-h", dest="codec", action="store_const", const="huf", help="use HUF")
+    p.add_argument("-z", dest="codec", action="store_const", const="zlibh", help="use zlib huffman")
+    p.add_argument("-d", dest="decode", action="store_true", help="decompression")
+    p.add_argument("-t", dest="test", action="store_true", help="test mode (decode, no output)")
+    p.add_argument("-b", dest="bench", action="store_true", help="benchmark mode")
+    p.add_argument("-i", dest="iters", type=int, default=4, help="benchmark iterations")
+    p.add_argument("-B", dest="bsize", type=str, default=None, help="block size (K/M suffix)")
+    p.add_argument("-f", dest="force", action="store_true", help="overwrite output")
+    p.add_argument("-v", dest="verbose", action="count", default=0)
+    p.add_argument("-q", dest="quiet", action="count", default=0)
+    p.add_argument("-H", "--help", action="help")
+    p.add_argument("--device", choices=["host", "tpu"], default="host")
+    p.add_argument("--mesh", type=int, default=0, help="data-parallel device count")
+    p.add_argument("input", nargs="?")
+    p.add_argument("output", nargs="?")
+    return p
+
+
+def _parse_bsize(s: str) -> int:
+    mult = 1
+    if s and s[-1] in "Kk":
+        mult, s = 1 << 10, s[:-1]
+    elif s and s[-1] in "Mm":
+        mult, s = 1 << 20, s[:-1]
+    return int(s) * mult
+
+
+def _get_codec_fns(args):
+    """Return (compressor, decompressor) batch callables for the device."""
+    if args.device == "tpu":
+        from .models import get_batch_codec
+
+        return get_batch_codec(args.codec or "fse", mesh=args.mesh)
+    return None, None  # frame layer defaults to the host twin
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    verbosity = 2 + args.verbose - args.quiet
+
+    if args.bench:
+        from .benchmarks.blockbench import bench_files
+
+        return bench_files([args.input] + ([args.output] if args.output else []),
+                           codec=args.codec or "fse", iters=args.iters,
+                           block_size=_parse_bsize(args.bsize) if args.bsize else 32768,
+                           device=args.device)
+
+    if not args.input:
+        print("missing input file", file=sys.stderr)
+        return 1
+
+    from .io import frame as fio
+
+    codec = args.codec or "fse"
+    if codec == "zlibh":
+        print("zlibh codec is provided by the reference binary only", file=sys.stderr)
+        return 1
+
+    decode = args.decode or args.test or (args.input.endswith(FSE_EXTENSION) and not args.codec)
+    t0 = time.perf_counter()
+    try:
+        if decode:
+            out = args.output or args.input.removesuffix(FSE_EXTENSION)
+            if args.test:
+                with open(args.input, "rb") as f:
+                    data = fio.decompress_bytes(f.read())
+                if verbosity >= 2:
+                    print(f"OK: decoded {len(data)} bytes", file=sys.stderr)
+            else:
+                n = fio.decompress_file(args.input, out)
+                if verbosity >= 2:
+                    print(f"Decoded {n} bytes", file=sys.stderr)
+        else:
+            out = args.output or args.input + FSE_EXTENSION
+            comp, _ = _get_codec_fns(args)
+            bid = _block_size_to_id(_parse_bsize(args.bsize)) if args.bsize else FIO_BLOCKSIZEID_DEFAULT
+            n, c = fio.compress_file(args.input, out, codec, bid, comp)
+            if verbosity >= 2:
+                ratio = 100.0 * c / n if n else 0.0
+                print(f"Compressed {n} bytes into {c} bytes ==> {ratio:.2f}%", file=sys.stderr)
+    except (FSEError, OSError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    if verbosity >= 3:
+        print(f"elapsed: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Frame format and CLI: byte-identical frames + cross-decode with reference."""
+import subprocess
+import sys
+
+import pytest
+
+from finitestateentropy_tpu.io import frame as fio
+from finitestateentropy_tpu.utils import generate_proba
+from tests.conftest import requires_ref
+from tests.ref_frames import ref_compress_file, ref_decompress_file
+
+
+@pytest.mark.parametrize("codec,flag", [("fse", "-e"), ("huf", "-h")])
+@requires_ref
+def test_frames_byte_identical(tmp_path, ref_fse, codec, flag):
+    data = generate_proba(14)
+    src = tmp_path / "a.bin"
+    src.write_bytes(data)
+    ref_out = tmp_path / "a.ref"
+    ref_compress_file(ref_fse, flag, src, ref_out)
+    ours = fio.compress_bytes(data, codec)
+    assert ours == ref_out.read_bytes()
+    # and we decode it back
+    assert fio.decompress_bytes(ours) == data
+
+
+@requires_ref
+def test_reference_decodes_our_frame(tmp_path, ref_fse):
+    data = generate_proba(80)[: 5 * 32768 + 1000]  # partial last block
+    ours = tmp_path / "b.fse"
+    ours.write_bytes(fio.compress_bytes(data, "huf"))
+    back = tmp_path / "b.out"
+    ref_decompress_file(ref_fse, ours, back)
+    assert back.read_bytes() == data
+
+
+def test_frame_checksum_rejects_corruption():
+    data = generate_proba(80)[:70000]
+    frame = bytearray(fio.compress_bytes(data, "fse"))
+    frame[-1] ^= 0x01  # trailer CRC bit
+    with pytest.raises(Exception):
+        fio.decompress_bytes(bytes(frame))
+
+
+def test_cli_roundtrip(tmp_path):
+    from finitestateentropy_tpu.cli import main
+
+    data = generate_proba(80)[:100000]
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+    assert main(["-e", "-f", str(src), str(tmp_path / "x.fse")]) == 0
+    assert main(["-d", "-f", str(tmp_path / "x.fse"), str(tmp_path / "x.out")]) == 0
+    assert (tmp_path / "x.out").read_bytes() == data
+    # test mode
+    assert main(["-t", str(tmp_path / "x.fse")]) == 0

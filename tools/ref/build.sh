@@ -14,4 +14,8 @@ gcc -O2 -I"$REF/lib" \
     "$REF/lib/huf_compress.c" "$REF/lib/huf_decompress.c" \
     -o "$HERE/bin/fse"
 gcc -O2 "$REF/programs/probaGenerator.c" -o "$HERE/bin/probagen" -lm
-echo "built: $HERE/bin/fse $HERE/bin/probagen"
+gcc -O2 -I"$REF/lib" "$HERE/u16_oracle.c" \
+    "$REF/lib/entropy_common.c" "$REF/lib/hist.c" \
+    "$REF/lib/fse_decompress.c" "$REF/lib/fse_compress.c" "$REF/lib/fseU16.c" \
+    -o "$HERE/bin/u16_oracle"
+echo "built: $HERE/bin/fse $HERE/bin/probagen $HERE/bin/u16_oracle"
