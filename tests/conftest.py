@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
+
+# persistent compilation cache: repeat suite runs skip XLA compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/fse_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 REF_BIN = REPO / "tools" / "ref" / "bin"
 
 

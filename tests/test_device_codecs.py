@@ -1,0 +1,67 @@
+"""Device (JAX) codec pipelines vs host twin and reference binary.
+
+Runs on the virtual CPU mesh; small 4KB blocks keep twin comparisons cheap.
+The 32KB-block parity with the reference CLI is exercised by tools/bench and
+the verify drive (same kernels, different static shape).
+"""
+import numpy as np
+import pytest
+
+from finitestateentropy_tpu.io import frame as fio
+from finitestateentropy_tpu.models.fse_codec import FseTpuCodec
+from finitestateentropy_tpu.models.huf_codec import HufTpuCodec
+from finitestateentropy_tpu.utils import generate_proba
+
+BS = 4096
+N_BLOCKS = 6
+DATA = generate_proba(80)[: BS * N_BLOCKS + 1234]  # ragged tail block
+
+
+@pytest.fixture(scope="module")
+def fse_codec():
+    return FseTpuCodec(block_size=BS)
+
+
+@pytest.fixture(scope="module")
+def huf_codec():
+    return HufTpuCodec(block_size=BS)
+
+
+def test_fse_device_frame_matches_twin(fse_codec):
+    dev = fio.compress_bytes(DATA, "fse", block_size_id=2, compressor=fse_codec.compress_blocks)
+    host = fio.compress_bytes(DATA, "fse", block_size_id=2)
+    assert dev == host
+    back = fio.decompress_bytes(dev, decompressor=fse_codec.decompress_blocks)
+    assert back == DATA
+
+
+def test_huf_device_frame_matches_twin(huf_codec):
+    dev = fio.compress_bytes(DATA, "huf", block_size_id=2, compressor=huf_codec.compress_blocks)
+    host = fio.compress_bytes(DATA, "huf", block_size_id=2)
+    assert dev == host
+    back = fio.decompress_bytes(dev, decompressor=huf_codec.decompress_blocks)
+    assert back == DATA
+
+
+def test_device_mixed_block_kinds(fse_codec):
+    """raw + rle + compressed blocks in one batch."""
+    data = (
+        generate_proba(80)[:BS]
+        + b"\x55" * BS
+        + np.random.default_rng(3).integers(0, 256, BS, dtype=np.uint8).tobytes()
+        + generate_proba(14)[: BS // 2]
+    )
+    dev = fio.compress_bytes(data, "fse", block_size_id=2, compressor=fse_codec.compress_blocks)
+    host = fio.compress_bytes(data, "fse", block_size_id=2)
+    assert dev == host
+    assert fio.decompress_bytes(dev, decompressor=fse_codec.decompress_blocks) == data
+
+
+def test_device_decode_rejects_corruption(fse_codec):
+    frame = bytearray(
+        fio.compress_bytes(DATA[:BS], "fse", block_size_id=2, compressor=fse_codec.compress_blocks)
+    )
+    # flip a bit inside the compressed payload (past the 5B frame + 3B block hdr + ncount)
+    frame[30] ^= 0x10
+    with pytest.raises(Exception):
+        fio.decompress_bytes(bytes(frame), decompressor=fse_codec.decompress_blocks)
