@@ -1,0 +1,19 @@
+"""TurboFSE — the TPU-native lane-interleaved entropy-coding format.
+
+The reference's formats (fse_compress.c / huf_compress.c) interleave 2 tANS
+states or 4 Huffman streams because that is what an out-of-order CPU core can
+exploit.  A TPU's unit of execution is an (8, 128) vector register, so the
+TPU-native format interleaves K = 1024 coder states — one per VPU lane —
+sharing a single LIFO bit cursor, with a table shared per multi-megabyte
+group.  Encode/decode then run as single Pallas kernels whose inner loop
+advances all 1024 chains per step.
+
+See format.py for the wire layout and the host (numpy) twin, kernels.py for
+the Pallas kernels.
+"""
+from .format import (  # noqa: F401
+    TURBO_LANES,
+    TURBO_MAGIC,
+    turbo_fse_compress,
+    turbo_fse_decompress,
+)
