@@ -1,0 +1,159 @@
+"""TurboRANS device API: whole-buffer compress/decompress on TPU.
+
+Host side does per-group stats + table packing (cheap: histogram +
+normalization + NCount, all O(group) numpy); the coder chains run in the
+Pallas kernels.  Groups of equal padded size batch into one kernel launch.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..refimpl.hist import hist_count
+from ..refimpl.ncount import fse_write_ncount
+from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
+from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
+from .rans import (FLAG_RAW, FLAG_RLE, RANS_MAGIC, RANS_TABLELOG, _HDR,
+                   parse_rans_group)
+from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
+                           rans_encode)
+
+DEFAULT_GROUP = 1 << 20
+
+
+def _round8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def _hrows_cap(n_pad: int) -> int:
+    # <= 1 halfword per symbol; round rows to a multiple of 8 + slack
+    return _round8((n_pad + 127) // 128 + 16)
+
+
+def _prep_group(chunk: np.ndarray):
+    """Host stats for one group; returns None for RLE/raw-destined groups."""
+    n = len(chunk)
+    count, max_sv, max_count = hist_count(chunk, 255)
+    if max_count == n:
+        return None
+    tlog = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
+    norm, tlog = fse_normalize_count(tlog, count[: max_sv + 1], n, max_sv)
+    if tlog != RANS_TABLELOG:
+        # re-normalize at the kernel's static tableLog (always legal for
+        # group-scale inputs)
+        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+    ncount = fse_write_ncount(norm, max_sv, tlog)
+    mfs = int(count.argmax())
+    return np.asarray(norm, np.int32), max_sv, ncount, mfs
+
+
+def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
+                          interpret: bool = False) -> bytes:
+    """Compress with the TurboRANS Pallas encode kernel."""
+    import jax.numpy as jnp
+
+    if len(data) == 0:
+        return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
+    src = np.frombuffer(data, dtype=np.uint8)
+    chunks = [src[i : i + group_size] for i in range(0, len(src), group_size)]
+
+    out = bytearray()
+    # batch groups by padded size (all-but-last are uniform)
+    batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
+    passthrough: dict[int, bytes] = {}
+    for gi, ch in enumerate(chunks):
+        prep = _prep_group(ch)
+        if prep is None:
+            passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RLE, 0) \
+                + bytes([ch[0]]) + b"\0" * 3
+            continue
+        batches.setdefault(_pad_n(len(ch)), []).append((gi, ch, prep))
+
+    results: dict[int, bytes] = dict(passthrough)
+    for n_pad, items in batches.items():
+        G = len(items)
+        t4 = n_pad // TURBO_STEP_SYMS
+        hcap = _hrows_cap(n_pad)
+        fc = np.zeros((G, 2, 128), np.int32)
+        mg = np.zeros((G, 2, 128), np.int32)
+        srcw = np.zeros((G, t4 * 8, 128), np.int32)
+        for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
+            fc[j], mg[j] = pack_rans_ctables(norm)
+            pad = np.full(n_pad, mfs, np.uint8)
+            pad[: len(ch)] = ch
+            srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
+        stream, fin, csize = rans_encode(
+            jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap, interpret)
+        stream = np.asarray(stream)
+        fin = np.asarray(fin)
+        csize = np.asarray(csize)
+        for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
+            hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
+            ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+            blob = (
+                _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), RANS_TABLELOG,
+                          0, len(ncount))
+                + ncount_pad
+                + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + hw.astype("<u2").tobytes()
+            )
+            if len(blob) >= len(ch) + _HDR.size:
+                blob = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RAW, 0) + ch.tobytes()
+            results[gi] = blob
+    for gi in range(len(chunks)):
+        out += results[gi]
+    return bytes(out)
+
+
+def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
+    """Decompress a TurboRANS stream with the Pallas decode kernel."""
+    import jax.numpy as jnp
+
+    groups = []
+    pos = 0
+    while pos < len(blob):
+        g, used = parse_rans_group(blob[pos:])
+        groups.append(g)
+        pos += used
+
+    pieces: list[bytes | None] = [None] * len(groups)
+    batches: dict[tuple[int, int], list[int]] = {}
+    for i, g in enumerate(groups):
+        n, csize_hw, tlog, flags, norm, max_sv, init, payload = g
+        if flags & FLAG_RAW:
+            pieces[i] = bytes(payload)
+        elif flags & FLAG_RLE:
+            pieces[i] = bytes([payload[0]]) * n
+        else:
+            n_pad = _pad_n(n)
+            hrows = _round8((csize_hw + 127) // 128 + 16)
+            batches.setdefault((n_pad, 0), []).append(i)
+
+    for (n_pad, _), idxs in batches.items():
+        G = len(idxs)
+        t4 = n_pad // TURBO_STEP_SYMS
+        hrows = _round8(
+            max((groups[i][1] + 127) // 128 for i in idxs) + 16)
+        tbl = np.zeros((G, 16, 128), np.int32)
+        init = np.zeros((G, 8, 128), np.int32)
+        hws = np.zeros((G, hrows, 128), np.int32)
+        cs = np.zeros(G, np.int32)
+        for j, i in enumerate(idxs):
+            n, csize_hw, tlog, flags, norm, max_sv, ini, payload = groups[i]
+            tbl[j] = pack_rans_dtable(norm)
+            init[j] = ini.view(np.int32).reshape(8, 128)
+            hw = np.frombuffer(payload, "<u2").astype(np.int32)
+            hws[j].reshape(-1)[: len(hw)] = hw
+            cs[j] = csize_hw
+        outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
+                                jnp.asarray(init), jnp.asarray(hws),
+                                t4, hrows, interpret)
+        err = np.asarray(err)
+        if err.any():
+            raise ValueError(f"turbo-rans device decode: corrupt groups {np.nonzero(err)[0]}")
+        outw = np.asarray(outw)
+        for j, i in enumerate(idxs):
+            n = groups[i][0]
+            pieces[i] = outw[j].astype("<i4").tobytes()[:n]
+    return b"".join(pieces)

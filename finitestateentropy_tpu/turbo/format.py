@@ -186,7 +186,9 @@ def parse_group(blob: bytes) -> tuple[TurboGroup, int]:
     if flags & FLAG_RLE:
         return TurboGroup(n, 8, 0, flags, None, 0, None, blob[pos : pos + 1]), pos + 4
     nc_pad = nc_len + (-nc_len % 4)
-    norm, max_sv, tlog, _used = fse_read_ncount(blob[pos : pos + nc_len])
+    # reader needs look-ahead slack past the NCount bytes (the reference
+    # rejects exact-size buffers too); init_states provide it
+    norm, max_sv, tlog, _used = fse_read_ncount(blob[pos : pos + nc_len + 8])
     assert tlog == table_log
     pos += nc_pad
     init = np.frombuffer(blob[pos : pos + 2 * TURBO_LANES], dtype="<u2").copy()

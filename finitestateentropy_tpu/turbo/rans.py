@@ -1,0 +1,190 @@
+"""TurboRANS — lane-interleaved rANS group format + bit-exact host twin.
+
+Same interleave philosophy as TurboFSE (format.py) but the coder is rANS
+with 16-bit renormalization: each of the 1024 lanes emits 0 or 1 aligned
+halfwords per step, so both encode and decode are single-gather kernels
+(no bit-granular packing).  Frequencies come from the reference's exact
+normalization (fse_compress.c:316-494) serialized with the reference NCount
+codec, so compression ratio matches the FSE reference per group
+(norm == -1 low-prob symbols map to freq 1, as in fse_decompress.c:86-99).
+
+Wire layout of one group (little-endian):
+
+    header (16 B):  u32 magic 0x183EF002 | u32 n_sym | u32 csize_hw
+                    u8 table_log | u8 flags(1=raw,2=rle) | u16 ncount_len
+    ncount:         reference FSE_writeNCount bytes, padded to 4B
+    init_states:    1024 x u32 row-major [8][128] (decoder initial states
+                    = encoder final states)
+    payload:        csize_hw x u16 halfwords
+
+Coder math (per lane; x is u32, L = 2^16, M = 2^table_log):
+    decode: slot = x & (M-1); (sym, f, c) = tbl[slot]
+            x = f * (x >> tlog) + slot - c
+            if x < L: x = (x << 16) | next_halfword     (cursor descends)
+    encode (reverse order):
+            if x >= f << (32 - tlog): emit low 16 bits; x >>= 16
+            x = (x // f) << tlog | (c + x % f)
+    Encoder starts every lane at x = L (early symbols emit nothing — the
+    free-first-symbol property, analogous to FSE_initCState2); the decoder's
+    final state must return to exactly L, which doubles as the per-lane
+    corruption check.
+
+Halfword layout: at decode step t, flagged lanes (ascending k) read
+positions cursor - rank_k (rank = inclusive prefix of flags); cursor -=
+total.  The encoder mirrors this exactly (see twin below).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..refimpl.hist import hist_count
+from ..refimpl.ncount import fse_read_ncount, fse_write_ncount
+from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
+from .format import TURBO_LANES, TURBO_STEP_SYMS, _lane_view, _pad_n, _unlane_view
+
+RANS_MAGIC = 0x183EF002
+RANS_TABLELOG = 11
+RANS_L = 1 << 16
+FLAG_RAW = 1
+FLAG_RLE = 2
+
+_HDR = struct.Struct("<IIIBBH")
+
+
+def rans_freqs(norm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """norm (reference normalized counts, -1 = low prob) -> (freq, cumul)."""
+    freq = np.where(np.asarray(norm) == -1, 1, np.asarray(norm)).astype(np.int64)
+    cumul = np.concatenate([[0], np.cumsum(freq)[:-1]])
+    return freq, cumul
+
+
+def rans_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
+    """slot -> packed i32 entry: (cumul << 20) | (freq << 8) | sym."""
+    freq, cumul = rans_freqs(norm)
+    m = 1 << table_log
+    bounds = np.concatenate([cumul, [m]])
+    slots = np.arange(m)
+    sym = np.searchsorted(bounds, slots, side="right") - 1
+    e = (cumul[sym] << 20) | (freq[sym] << 8) | sym
+    return e.astype(np.int64).astype(np.uint32).view(np.int32)
+
+
+def rans_compress(data: bytes) -> bytes:
+    n = len(data)
+    if n == 0:
+        return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
+    src = np.frombuffer(data, dtype=np.uint8)
+    count, max_sv, max_count = hist_count(src, 255)
+    if max_count == n:
+        return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RLE, 0) + bytes([src[0]]) + b"\0" * 3
+
+    table_log = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
+    norm, table_log = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)
+    ncount = fse_write_ncount(norm, max_sv, table_log)
+    freq, cumul = rans_freqs(np.asarray(norm))
+    fr = np.zeros(256, np.int64)
+    cu = np.zeros(256, np.int64)
+    fr[: len(freq)] = freq
+    cu[: len(cumul)] = cumul
+
+    mfs = int(count.argmax())
+    n_pad = _pad_n(n)
+    src_pad = np.full(n_pad, mfs, dtype=np.uint8)
+    src_pad[:n] = src
+    syms = _lane_view(src_pad)  # [T, 1024]
+    T = syms.shape[0]
+
+    x = np.full(TURBO_LANES, RANS_L, dtype=np.uint64)
+    chunks: list[np.ndarray] = []
+    thresh_shift = 32 - table_log
+    for t in range(T - 1, -1, -1):
+        s = syms[t].astype(np.int64)
+        f = fr[s].astype(np.uint64)
+        c = cu[s].astype(np.uint64)
+        flag = x >= (f << np.uint64(thresh_shift))
+        if flag.any():
+            vals = (x[flag] & np.uint64(0xFFFF)).astype(np.uint16)
+            # decode reads rank-1 lane at the highest position: positions
+            # within this step descend as lane index ascends, and the stream
+            # grows upward, so append flagged-lane values reversed
+            chunks.append(vals[::-1])
+            x = np.where(flag, x >> np.uint64(16), x)
+        q = x // f
+        r = x - q * f
+        x = (q << np.uint64(table_log)) + c + r
+    # encode order (t = T-1 first) already writes ascending positions: the
+    # decoder's cursor descends, so its first-read block is the last-encoded
+    stream = np.concatenate(chunks) if chunks else np.zeros(0, np.uint16)
+    csize_hw = len(stream)
+
+    ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+    init = x.astype("<u4").tobytes()
+    out = (
+        _HDR.pack(RANS_MAGIC, n, csize_hw, table_log, 0, len(ncount))
+        + ncount_pad + init + stream.astype("<u2").tobytes()
+    )
+    if len(out) >= n + _HDR.size:
+        return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RAW, 0) + data
+    return out
+
+
+def parse_rans_group(blob: bytes):
+    magic, n, csize_hw, table_log, flags, nc_len = _HDR.unpack_from(blob, 0)
+    if magic != RANS_MAGIC:
+        raise ValueError("bad turbo-rans magic")
+    pos = _HDR.size
+    if flags & FLAG_RAW:
+        return (n, csize_hw, table_log, flags, None, 0, None,
+                blob[pos : pos + n]), pos + n
+    if flags & FLAG_RLE:
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 1]), pos + 4
+    # the reference reader needs look-ahead slack beyond the NCount bytes
+    # (entropy_common.c reads 4-byte words; an exact-size buffer is rejected
+    # even by the reference) — the init_states section provides it
+    norm, max_sv, tlog, used = fse_read_ncount(blob[pos : pos + nc_len + 8])
+    assert tlog == table_log and used <= nc_len + 1
+    pos += nc_len + (-nc_len % 4)
+    init = np.frombuffer(blob[pos : pos + 4 * TURBO_LANES], dtype="<u4").copy()
+    pos += 4 * TURBO_LANES
+    payload = blob[pos : pos + 2 * csize_hw]
+    pos += 2 * csize_hw
+    return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,
+            init, payload), pos
+
+
+def rans_decompress(blob: bytes) -> bytes:
+    (n, csize_hw, table_log, flags, norm, max_sv, init, payload), _ = \
+        parse_rans_group(blob)
+    if flags & FLAG_RAW:
+        return bytes(payload)
+    if flags & FLAG_RLE:
+        return bytes([payload[0]]) * n
+
+    tbl = rans_decode_table(norm, table_log).view(np.uint32).astype(np.uint64)
+    hw = np.frombuffer(payload, dtype="<u2").astype(np.uint64)
+    m_mask = np.uint64((1 << table_log) - 1)
+
+    n_pad = _pad_n(n)
+    T = n_pad // TURBO_LANES
+    x = init.astype(np.uint64)
+    out = np.zeros((T, TURBO_LANES), dtype=np.uint8)
+    cursor = csize_hw
+    for t in range(T):
+        slot = x & m_mask
+        e = tbl[slot]
+        out[t] = (e & np.uint64(0xFF)).astype(np.uint8)
+        f = (e >> np.uint64(8)) & np.uint64(0xFFF)
+        c = e >> np.uint64(20)
+        x = f * (x >> np.uint64(table_log)) + slot - c
+        flag = x < np.uint64(RANS_L)
+        rank = np.cumsum(flag)
+        pos = cursor - rank
+        v = (hw[np.clip(pos, 0, max(len(hw) - 1, 0))] if len(hw)
+             else np.zeros(len(pos), np.uint64))
+        x = np.where(flag, (x << np.uint64(16)) | v, x)
+        cursor -= int(rank[-1])
+    if cursor != 0 or not (x == RANS_L).all():
+        raise ValueError("turbo-rans stream corrupt")
+    return _unlane_view(out)[:n].tobytes()

@@ -1,0 +1,305 @@
+"""Pallas TPU kernels for TurboRANS (lane-interleaved rANS, 16-bit renorm).
+
+Both kernels advance 1024 rANS chains per inner-loop step:
+
+* decode: 16-chunk lane-gather resolves the 2048-slot table; renorm lanes
+  read one halfword each from a dynamic 16-row window of the VMEM-resident
+  (halfword-expanded) stream at positions cursor - rank, rank from an MXU
+  within-row prefix sum + scalar row offsets.
+* encode: runs steps in reverse; renorm emissions are placed by a pull
+  (each output slot binary-searches the lane whose rank owns it), so the
+  packing needs no scatter primitive at all.  Division by freq uses a
+  mulhi magic-multiply with two branchless corrections.
+
+The coder math matches rans.py's host twin bit for bit.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .format import TURBO_LANES
+from .rans import RANS_L, RANS_TABLELOG, rans_decode_table, rans_freqs
+
+TSIZE = 1 << RANS_TABLELOG
+TCHUNKS = TSIZE // 128
+
+_srl = jax.lax.shift_right_logical
+_sll = jax.lax.shift_left
+_SIGN = np.int32(np.uint32(0x80000000))
+
+
+def _chunk_gather(rows, idx, n_chunks, shape):
+    hi = _srl(idx, 7)
+    lo = idx & 127
+    acc = jnp.zeros(shape, jnp.int32)
+    for h in range(n_chunks):
+        row = jnp.broadcast_to(rows[h : h + 1, :], shape)
+        v = jnp.take_along_axis(row, lo, axis=1)
+        acc = jnp.where(hi == h, v, acc)
+    return acc
+
+
+def _uge(a, b):
+    """Unsigned a >= b on int32 bit patterns."""
+    return (a ^ _SIGN) >= (b ^ _SIGN)
+
+
+def _mulhi32(a, b):
+    """High 32 bits of the unsigned 64-bit product of two u32 bit patterns."""
+    al = a & 0xFFFF
+    ah = _srl(a, 16)
+    bl = b & 0xFFFF
+    bh = _srl(b, 16)
+    albl = al * bl
+    albh = al * bh
+    ahbl = ah * bl
+    ahbh = ah * bh
+    mid = _srl(albl, 16) + (albh & 0xFFFF) + (ahbl & 0xFFFF)
+    return ahbh + _srl(albh, 16) + _srl(ahbl, 16) + _srl(mid, 16)
+
+
+def _flat_prefix(nb, tria, scr_ref, shape):
+    """Inclusive prefix over row-major [8,128] + scalar total.
+
+    nb values must be bf16-exact (<= 255).  Returns (prefix, total_scalar).
+    """
+    aug = jax.lax.dot_general(
+        nb.astype(jnp.bfloat16), tria, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    within = aug[:, :128].astype(jnp.int32)
+    scr_ref[0:8, 0:1] = aug[:, 128:129].astype(jnp.int32)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    offs = []
+    acc = 0
+    for r in range(8):
+        offs.append(acc)
+        acc = acc + scr_ref[r, 0]
+    rowoff = jnp.zeros(shape, jnp.int32)
+    for r in range(1, 8):
+        rowoff = jnp.where(rows8 == r, offs[r], rowoff)
+    return within + rowoff, acc
+
+
+def _make_tria():
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 129), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 129), 1)
+    return (c_iota >= r_iota).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+
+def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
+                        out_ref, scr_ref, *, t4_count, hrows):
+    shape = (8, 128)
+    g = pl.program_id(0)
+    cursor0 = csize_ref[g]
+    table = table_ref[0]
+    tria = _make_tria()
+
+    def step(x, cursor):
+        slot = x & (TSIZE - 1)
+        e = _chunk_gather(table, slot, TCHUNKS, shape)
+        sym = e & 0xFF
+        f = _srl(e, 8) & 0xFFF
+        c = _srl(e, 20)
+        x = f * _srl(x, RANS_TABLELOG) + slot - c
+        flag = _srl(x, 16) == 0
+        rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
+        pos = cursor - rank
+        # window [base*128, base*128+2048) must contain [cursor-1024, cursor)
+        base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16)
+        window = stream_ref[pl.ds(base_row, 16), :]
+        rel = jnp.clip(pos - base_row * 128, 0, 2047)
+        v = _chunk_gather(window, rel, 16, shape)
+        x = jnp.where(flag, _sll(x, 16) | v, x)
+        return sym, x, cursor - total
+
+    def body(t4, carry):
+        x, cursor = carry
+        sym0, x, cursor = step(x, cursor)
+        sym1, x, cursor = step(x, cursor)
+        sym2, x, cursor = step(x, cursor)
+        sym3, x, cursor = step(x, cursor)
+        tile = sym0 | _sll(sym1, 8) | _sll(sym2, 16) | _sll(sym3, 24)
+        out_ref[pl.ds(t4 * 8, 8), :] = tile
+        return x, cursor
+
+    x0 = init_ref[0]
+    x, cursor = jax.lax.fori_loop(0, t4_count, body, (x0, cursor0))
+    # trailer: residue tiles — all-zero iff stream well-formed
+    out_ref[pl.ds(t4_count * 8, 8), :] = x ^ RANS_L
+    out_ref[pl.ds(t4_count * 8 + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def rans_decode(csize_hw, tables, init_states, streams,
+                t4_count: int, hrows: int, interpret: bool = False):
+    """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
+    bits); streams[G,hrows,128] i32 (halfword-expanded payload).
+    Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
+    G = tables.shape[0]
+    rows = t4_count * 8 + 16
+    kern = functools.partial(_rans_decode_kernel, t4_count=t4_count, hrows=hrows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 16, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hrows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32),
+        interpret=interpret,
+    )(csize_hw, tables, init_states, streams.reshape(G * hrows, 128))
+    out = out.reshape(G, rows, 128)
+    err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))
+    return out[:, : t4_count * 8, :], err
+
+
+# ---------------------------------------------------------------------------
+# Encode
+# ---------------------------------------------------------------------------
+
+
+def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
+                        *, t4_count, hrows_cap):
+    shape = (8, 128)
+    wshape = (16, 128)
+    fc = fc_ref[0]
+    magic = magic_ref[0]
+    tria = _make_tria()
+    thresh_shift = 32 - RANS_TABLELOG
+
+    def div(x, f, m):
+        q = _mulhi32(x, m)
+        r = x - q * f
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - f, r)
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - f, r)
+        return q, r
+
+    def step(x, cursor, word, p):
+        sym = _srl(word, 8 * p) & 0xFF
+        e = _chunk_gather(fc, sym, 2, shape)
+        f = e & 0xFFF
+        c = _srl(e, 12) & 0xFFF
+        m = _chunk_gather(magic, sym, 2, shape)
+
+        flag = _uge(x, _sll(f, thresh_shift))
+        emit = x & 0xFFFF
+        x = jnp.where(flag, _srl(x, 16), x)
+        q, r = div(x, f, m)
+        x = _sll(q, RANS_TABLELOG) + c + r
+
+        rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
+        # pull: output halfword at absolute position pos in [cursor,
+        # cursor+total) holds the lane with rank = cursor + total - pos
+        base_row = jnp.clip(_srl(cursor, 7), 0, hrows_cap - 16)
+        pos = base_row * 128 + jax.lax.broadcasted_iota(jnp.int32, wshape, 0) * 128 \
+            + jax.lax.broadcasted_iota(jnp.int32, wshape, 1)
+        want = cursor + total - pos            # rank wanted at this slot
+        valid = (want >= 1) & (want <= total) & (pos >= cursor)
+        # binary search: first flat lane whose inclusive rank >= want
+        lo = jnp.zeros(wshape, jnp.int32)
+        hi_b = jnp.full(wshape, TURBO_LANES - 1, jnp.int32)
+        # rank lives in registers; chunked gather over its [8,128] form
+        for _ in range(10):
+            mid = _srl(lo + hi_b, 1)
+            rv = _chunk_gather(rank, mid, 8, wshape)
+            ge = rv >= want
+            hi_b = jnp.where(ge, mid, hi_b)
+            lo = jnp.where(ge, lo, mid + 1)
+        lane = hi_b
+        val = _chunk_gather(emit, lane, 8, wshape)
+        old = out_ref[pl.ds(base_row, 16), :]
+        out_ref[pl.ds(base_row, 16), :] = jnp.where(valid, val, old)
+        return x, cursor + total
+
+    def body(i, carry):
+        x, cursor = carry
+        t4 = t4_count - 1 - i
+        word = src_ref[pl.ds(t4 * 8, 8), :]
+        x, cursor = step(x, cursor, word, 3)
+        x, cursor = step(x, cursor, word, 2)
+        x, cursor = step(x, cursor, word, 1)
+        x, cursor = step(x, cursor, word, 0)
+        return x, cursor
+
+    x0 = jnp.full(shape, RANS_L, jnp.int32)
+    x, cursor = jax.lax.fori_loop(0, t4_count, body, (x0, jnp.int32(0)))
+    out_ref[pl.ds(hrows_cap, 8), :] = x
+    out_ref[pl.ds(hrows_cap + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def rans_encode(fc_tables, magic_tables, src_words,
+                t4_count: int, hrows_cap: int, interpret: bool = False):
+    """fc_tables[G,2,128] i32 ((cumul<<12)|freq); magic_tables[G,2,128] i32
+    (floor(2^32/freq) bits); src_words[G, t4_count*8, 128] i32.
+    Returns (stream[G,hrows_cap,128] i32 halfword-expanded, final_states
+    [G,8,128] i32, csize_hw[G] i32)."""
+    G = fc_tables.shape[0]
+    rows = hrows_cap + 16
+    kern = functools.partial(_rans_encode_kernel, t4_count=t4_count,
+                             hrows_cap=hrows_cap)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 2, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((t4_count * 8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
+    )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
+    out = out.reshape(G, rows, 128)
+    return (out[:, :hrows_cap, :], out[:, hrows_cap : hrows_cap + 8, :],
+            out[:, hrows_cap + 8, 0])
+
+
+# ---------------------------------------------------------------------------
+# Host-side table packing
+# ---------------------------------------------------------------------------
+
+
+def pack_rans_dtable(norm) -> np.ndarray:
+    """[16,128] i32 decode table for the kernel."""
+    t = rans_decode_table(norm, RANS_TABLELOG)
+    out = np.zeros(TSIZE, np.int32)
+    out[: len(t)] = t
+    return out.reshape(TCHUNKS, 128)
+
+
+def pack_rans_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
+    """((cumul<<12)|freq)[2,128], magic[2,128] — 256-symbol encode tables."""
+    freq, cumul = rans_freqs(np.asarray(norm))
+    f = np.zeros(256, np.int64)
+    c = np.zeros(256, np.int64)
+    f[: len(freq)] = freq
+    c[: len(cumul)] = cumul
+    f = np.maximum(f, 1)  # unused symbols: avoid div-by-zero magic
+    fc = ((c << 12) | f).astype(np.int32)
+    magic = np.minimum(2**32 // f, 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return fc.reshape(2, 128), magic.reshape(2, 128)

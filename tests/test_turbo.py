@@ -83,36 +83,66 @@ def test_decode_kernel_interpret_matches_twin():
     assert out_bytes == data
 
 
-def test_encode_kernel_interpret_matches_twin():
-    import jax.numpy as jnp
+# ---------------------------------------------------------------------------
+# TurboRANS (the flagship device codec)
+# ---------------------------------------------------------------------------
 
-    from finitestateentropy_tpu.turbo.kernels import turbo_fse_encode_arrays
 
-    data = generate_proba(80)[:8192]
-    blob = turbo_fse_compress(data)          # twin output = oracle bytes
-    g, cs, tbl, init, stream, t4, wrows = _group_to_arrays(blob)
+@pytest.mark.parametrize("name", list(_corpora()))
+def test_rans_twin_roundtrip(name):
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
 
-    from finitestateentropy_tpu.refimpl.tables import build_ctable
-    from finitestateentropy_tpu.turbo.kernels import pack_ctable
+    data = _corpora()[name]
+    assert rans_decompress(rans_compress(data)) == data
 
-    ct_state, ct_sym = pack_ctable(build_ctable(g.norm, g.max_symbol_value, g.table_log))
-    n_pad = _pad_n(g.n_sym)
-    src_pad = np.frombuffer(data, np.uint8)
-    mfs = int(np.bincount(src_pad, minlength=256).argmax())
-    pad = np.full(n_pad, mfs, np.uint8)
-    pad[: g.n_sym] = src_pad
-    src_words = pad.view("<u4").astype(np.int32).reshape(1, -1, 128)
 
-    words, csize_bits, fin = turbo_fse_encode_arrays(
-        jnp.asarray(ct_state[None]), jnp.asarray(ct_sym[None]),
-        jnp.asarray(src_words), t4, wrows, True,
+def test_rans_ratio_parity():
+    from finitestateentropy_tpu.refimpl.fse import fse_compress
+    from finitestateentropy_tpu.turbo.rans import rans_compress
+
+    data = generate_proba(80)
+    blob = rans_compress(data)
+    ref = sum(
+        len(fse_compress(data[i : i + 32768]).data)
+        for i in range(0, len(data), 32768)
     )
-    assert int(np.asarray(csize_bits)[0]) == g.csize_bits
-    want = np.zeros(wrows * 128, np.int32)
-    pw = np.frombuffer(g.payload, "<u4").astype(np.int32)
-    want[: len(pw)] = pw
-    got = np.asarray(words)[0].reshape(-1)
-    assert np.array_equal(got, want)
-    assert np.array_equal(
-        np.asarray(fin)[0].reshape(-1) & 2047, g.init_states.astype(np.int32)
+    assert len(blob) <= ref * 1.03  # 16-bit renorm + 4KB states per group
+
+
+def test_rans_device_kernels_match_twin_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+
+    data = generate_proba(80)[:40960]
+    twin = rans_compress(data)
+    dev = turbo_compress_device(data, group_size=40960, interpret=True)
+    assert dev == twin                          # encoder bit-exact vs twin
+    assert turbo_decompress_device(dev, interpret=True) == data
+    assert rans_decompress(dev) == data         # twin decodes device frames
+
+
+def test_rans_device_multigroup_and_fallbacks_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+
+    rng = np.random.default_rng(5)
+    data = (
+        generate_proba(80)[:20000]
+        + b"R" * 9000                            # RLE group
+        + bytes(rng.integers(0, 256, 12000, dtype=np.uint8))  # raw group
+        + generate_proba(14)[:5000]
     )
+    dev = turbo_compress_device(data, group_size=9000, interpret=True)
+    assert turbo_decompress_device(dev, interpret=True) == data
+
+
+def test_rans_device_detects_corruption_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+
+    data = generate_proba(80)[:40960]
+    dev = bytearray(turbo_compress_device(data, group_size=40960, interpret=True))
+    dev[len(dev) // 2] ^= 0xFF                  # flip payload bits
+    with pytest.raises(ValueError):
+        turbo_decompress_device(bytes(dev), interpret=True)
