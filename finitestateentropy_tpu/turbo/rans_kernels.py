@@ -93,6 +93,30 @@ def _make_tria():
     return (c_iota >= r_iota).astype(jnp.bfloat16)
 
 
+def _make_tril8():
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+    return (c_iota < r_iota).astype(jnp.bfloat16)
+
+
+def _flag_prefix(flags, tria, tril8, scr_ref, shape):
+    """Inclusive flat prefix of 0/1 flags: two bf16 matmuls (row totals
+    <= 128 are bf16-exact), one scalar round-trip for the total."""
+    aug = jax.lax.dot_general(
+        flags.astype(jnp.bfloat16), tria, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    within = aug[:, :128]
+    rowtot = aug[:, 128:129]
+    rowpre = jax.lax.dot_general(
+        tril8, rowtot.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    prefix = (within + rowpre).astype(jnp.int32)
+    scr_ref[0:1, 0:1] = (rowpre[7:8] + rowtot[7:8]).astype(jnp.int32)
+    return prefix, scr_ref[0, 0]
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
@@ -103,12 +127,17 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
     shape = (8, 128)
     g = pl.program_id(0)
     cursor0 = csize_ref[g]
-    table = table_ref[0]
     tria = _make_tria()
+    tril8 = _make_tril8()
 
     def step(x, cursor):
         slot = x & (TSIZE - 1)
-        e = _chunk_gather(table, slot, TCHUNKS, shape)
+        thi = _srl(slot, 7)
+        tlo = slot & 127
+        e = jnp.zeros(shape, jnp.int32)
+        for h in range(TCHUNKS):
+            trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
+            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
         sym = e & 0xFF
         f = _srl(e, 8) & 0xFFF
         c = _srl(e, 20)
@@ -116,11 +145,17 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
         pos = cursor - rank
-        # window [base*128, base*128+2048) must contain [cursor-1024, cursor)
+        # window rows [base, base+9) always contain [cursor-1024, cursor):
+        # rel = pos - base*128 < 128 + 1024, so 9 row-chunks suffice; rows
+        # load lazily from the stream ref (no 16-row materialization)
         base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16)
-        window = stream_ref[pl.ds(base_row, 16), :]
         rel = jnp.clip(pos - base_row * 128, 0, 2047)
-        v = _chunk_gather(window, rel, 16, shape)
+        hi = _srl(rel, 7)
+        lo = rel & 127
+        v = jnp.zeros(shape, jnp.int32)
+        for h in range(9):
+            row = jnp.broadcast_to(stream_ref[pl.ds(base_row + h, 1), :], shape)
+            v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
         x = jnp.where(flag, _sll(x, 16) | v, x)
         return sym, x, cursor - total
 
@@ -180,10 +215,8 @@ def rans_decode(csize_hw, tables, init_states, streams,
 def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
                         *, t4_count, hrows_cap):
     shape = (8, 128)
-    wshape = (16, 128)
-    fc = fc_ref[0]
-    magic = magic_ref[0]
     tria = _make_tria()
+    tril8 = _make_tril8()
     thresh_shift = 32 - RANS_TABLELOG
 
     def div(x, f, m):
@@ -199,10 +232,18 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
 
     def step(x, cursor, word, p):
         sym = _srl(word, 8 * p) & 0xFF
-        e = _chunk_gather(fc, sym, 2, shape)
+        shi = _srl(sym, 7)
+        slo = sym & 127
+        e = jnp.zeros(shape, jnp.int32)
+        m = jnp.zeros(shape, jnp.int32)
+        for h in range(2):
+            frow = jnp.broadcast_to(fc_ref[0, h : h + 1, :], shape)
+            mrow = jnp.broadcast_to(magic_ref[0, h : h + 1, :], shape)
+            hit = shi == h
+            e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
+            m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
         f = e & 0xFFF
         c = _srl(e, 12) & 0xFFF
-        m = _chunk_gather(magic, sym, 2, shape)
 
         flag = _uge(x, _sll(f, thresh_shift))
         emit = x & 0xFFFF
@@ -210,28 +251,34 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         q, r = div(x, f, m)
         x = _sll(q, RANS_TABLELOG) + c + r
 
-        rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
+        rank, total = _flag_prefix(flag.astype(jnp.int32), tria, tril8, scr_ref, shape)
+
         # pull: output halfword at absolute position pos in [cursor,
-        # cursor+total) holds the lane with rank = cursor + total - pos
+        # cursor+total) holds the lane with rank = cursor + total - pos.
+        # Main pass covers slots [base*128, base*128+1024); a predicated
+        # spill pass handles the rare (cursor&127)+total > 1024 overflow.
+        def pull_pass(base_row):
+            pos = base_row * 128 \
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128 \
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+            want = cursor + total - pos        # rank wanted at this slot
+            valid = (want >= 1) & (want <= total) & (pos >= cursor)
+            # binary search: first flat lane whose inclusive rank >= want
+            lo = jnp.zeros(shape, jnp.int32)
+            hi_b = jnp.full(shape, TURBO_LANES - 1, jnp.int32)
+            for _ in range(10):
+                mid = _srl(lo + hi_b, 1)
+                rv = _chunk_gather(rank, mid, 8, shape)
+                ge = rv >= want
+                hi_b = jnp.where(ge, mid, hi_b)
+                lo = jnp.where(ge, lo, mid + 1)
+            val = _chunk_gather(emit, hi_b, 8, shape)
+            old = out_ref[pl.ds(base_row, 8), :]
+            out_ref[pl.ds(base_row, 8), :] = jnp.where(valid, val, old)
+
         base_row = jnp.clip(_srl(cursor, 7), 0, hrows_cap - 16)
-        pos = base_row * 128 + jax.lax.broadcasted_iota(jnp.int32, wshape, 0) * 128 \
-            + jax.lax.broadcasted_iota(jnp.int32, wshape, 1)
-        want = cursor + total - pos            # rank wanted at this slot
-        valid = (want >= 1) & (want <= total) & (pos >= cursor)
-        # binary search: first flat lane whose inclusive rank >= want
-        lo = jnp.zeros(wshape, jnp.int32)
-        hi_b = jnp.full(wshape, TURBO_LANES - 1, jnp.int32)
-        # rank lives in registers; chunked gather over its [8,128] form
-        for _ in range(10):
-            mid = _srl(lo + hi_b, 1)
-            rv = _chunk_gather(rank, mid, 8, wshape)
-            ge = rv >= want
-            hi_b = jnp.where(ge, mid, hi_b)
-            lo = jnp.where(ge, lo, mid + 1)
-        lane = hi_b
-        val = _chunk_gather(emit, lane, 8, wshape)
-        old = out_ref[pl.ds(base_row, 16), :]
-        out_ref[pl.ds(base_row, 16), :] = jnp.where(valid, val, old)
+        pull_pass(base_row)
+        pull_pass(base_row + 8)
         return x, cursor + total
 
     def body(i, carry):
