@@ -38,7 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("-q", dest="quiet", action="count", default=0)
     p.add_argument("-H", "--help", action="help")
-    p.add_argument("--device", choices=["host", "tpu"], default="host")
+    p.add_argument("-T", "--turbo", action="store_true",
+                   help="TPU-native TurboRANS frame format (lane-interleaved)")
+    p.add_argument("-G", dest="group", type=str, default="1M",
+                   help="turbo group size (K/M suffix)")
+    p.add_argument("--device", choices=["host", "tpu", "turbo"], default="host")
     p.add_argument("--mesh", type=int, default=0, help="data-parallel device count")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
@@ -79,6 +83,9 @@ def main(argv=None) -> int:
         print("missing input file", file=sys.stderr)
         return 1
 
+    if args.turbo:
+        return _turbo_main(args, verbosity)
+
     from .io import frame as fio
 
     codec = args.codec or "fse"
@@ -113,6 +120,39 @@ def main(argv=None) -> int:
         return 1
     if verbosity >= 3:
         print(f"elapsed: {time.perf_counter() - t0:.3f}s", file=sys.stderr)
+    return 0
+
+
+TURBO_EXTENSION = ".tfse"
+
+
+def _turbo_main(args, verbosity: int) -> int:
+    """TurboRANS frame path: device kernels on TPU, host twin elsewhere."""
+    import jax
+
+    from .turbo.api import turbo_compress_device, turbo_decompress_device
+
+    interpret = jax.default_backend() == "cpu"
+    decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
+    data = open(args.input, "rb").read()
+    t0 = time.perf_counter()
+    if decode:
+        out = turbo_decompress_device(data, interpret=interpret)
+        dst = args.output or args.input.removesuffix(TURBO_EXTENSION)
+        if not args.test:
+            open(dst, "wb").write(out)
+        if verbosity >= 2:
+            print(f"Decoded {len(out)} bytes in {time.perf_counter()-t0:.2f}s "
+                  "(includes kernel compile on first use)", file=sys.stderr)
+    else:
+        blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
+                                     interpret=interpret)
+        dst = args.output or args.input + TURBO_EXTENSION
+        open(dst, "wb").write(blob)
+        if verbosity >= 2:
+            ratio = 100.0 * len(blob) / max(len(data), 1)
+            print(f"Compressed {len(data)} bytes into {len(blob)} bytes "
+                  f"==> {ratio:.2f}%", file=sys.stderr)
     return 0
 
 
