@@ -520,7 +520,9 @@ def huf_compress(
         return (r, old_table, False) if track_repeat else r
 
     payload = _finish(table)
-    if payload is None:
+    # the reference's final incompressibility check covers header + payload
+    # (op-ostart >= srcSize-1, huf_compress.c:718-721)
+    if payload is None or len(header) + len(payload) >= src_size - 1:
         r = BlockResult.raw()
         return (r, table, False) if track_repeat else r
     r = BlockResult.compressed(header + payload)

@@ -1,0 +1,189 @@
+"""Randomized fuzz suite modeled on the reference fuzzers (programs/fuzzer.c):
+
+five corpora (noise / P=1% / P=15% / P=90% / constant, fuzzer.c:157-161),
+random slices at random offsets weighted 7/8 toward P15 (fuzzer.c:187-202),
+round-trip with XXH32 + canary checks, too-small-dst behavior, bogus-NCount
+reads that must never overread, and garbage decodes that must error — never
+crash or overrun.  Iteration counts are scaled down for CI; seeds are fixed
+and printed on failure for replay (fuzzer.c:484,553).
+"""
+import struct
+
+import numpy as np
+
+struct_error = struct.error
+import pytest
+
+from finitestateentropy_tpu.errors import FSEError
+from finitestateentropy_tpu.refimpl import fse, huf
+from finitestateentropy_tpu.refimpl.blocktypes import Kind
+from finitestateentropy_tpu.refimpl.ncount import fse_read_ncount
+from finitestateentropy_tpu.utils.xxhash32 import xxh32
+
+SEED = 20260816
+N_ITERS = 60
+MAX_SLICE = 4096
+
+
+def _corpora(rng):
+    size = 1 << 17
+    def proba(p):
+        # geometric-decay sampler in the spirit of fuzzer.c's FUZ_generate
+        out = np.zeros(size, np.uint8)
+        run = rng.random(size)
+        sym = np.zeros(size, np.uint8)
+        k = 0
+        while True:
+            mask = run >= p
+            if not mask.any() or k > 50:
+                break
+            sym[mask] += 1
+            run[mask] = (run[mask] - p) / (1 - p)
+            k += 1
+        return sym.tobytes()
+    return [
+        rng.integers(0, 256, size, dtype=np.uint8).tobytes(),  # noise
+        proba(0.01),
+        proba(0.15),
+        proba(0.90),
+        b"\x5A" * size,                                         # constant
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    return _corpora(np.random.default_rng(SEED))
+
+
+def _random_slice(rng, corpora):
+    pick = rng.integers(0, 8)
+    data = corpora[2] if pick < 7 else corpora[rng.integers(0, 5)]
+    n = int(rng.integers(1, MAX_SLICE))
+    off = int(rng.integers(0, len(data) - n))
+    return data[off : off + n]
+
+
+def test_fse_fuzz_roundtrip(corpora):
+    rng = np.random.default_rng(SEED + 1)
+    for it in range(N_ITERS):
+        src = _random_slice(rng, corpora)
+        r = fse.fse_compress(src)
+        if r.kind == Kind.COMPRESSED:
+            out = fse.fse_decompress(r.data, len(src))
+            assert xxh32(out) == xxh32(src), f"iter {it} seed {SEED+1}"
+            assert len(out) == len(src)
+        elif r.kind == Kind.RLE:
+            assert src == src[:1] * len(src)
+
+
+def test_huf_fuzz_roundtrip(corpora):
+    rng = np.random.default_rng(SEED + 2)
+    for it in range(N_ITERS):
+        src = _random_slice(rng, corpora)
+        r = huf.huf_compress(src)
+        if r.kind == Kind.COMPRESSED:
+            out = huf.huf_decompress(r.data, len(src))
+            assert xxh32(out) == xxh32(src), f"iter {it} seed {SEED+2}"
+
+
+def test_fse_compress_too_small_dst(corpora):
+    """Compression into cSize-1 capacity must fail cleanly (fuzzer.c:212-220)."""
+    rng = np.random.default_rng(SEED + 3)
+    from finitestateentropy_tpu.refimpl.hist import hist_count
+    from finitestateentropy_tpu.refimpl.norm import (fse_normalize_count,
+                                                     fse_optimal_table_log)
+    from finitestateentropy_tpu.refimpl.tables import build_ctable
+
+    for _ in range(10):
+        src = _random_slice(rng, corpora)
+        r = fse.fse_compress(src)
+        if r.kind != Kind.COMPRESSED:
+            continue
+        arr = np.frombuffer(src, np.uint8)
+        count, max_sv, _ = hist_count(arr, 255)
+        tlog = fse_optimal_table_log(11, len(src), max_sv)
+        norm, tlog = fse_normalize_count(tlog, count[: max_sv + 1], len(src), max_sv)
+        ct = build_ctable(norm, max_sv, tlog)
+        # reference returns 0 ("not compressible into that size"); the twin
+        # mirrors it by returning b"" — and must never write out of bounds
+        full = fse.fse_compress_using_ctable(src, ct)
+        assert fse.fse_compress_using_ctable(src, ct, dst_capacity=len(full) - 1) == b""
+
+
+def test_read_ncount_bogus_never_overreads():
+    """FSE_readNCount on random bytes: error or a coherent distribution
+    (fuzzer.c:235-250, FUZ_checkCount fuzzer.c:126-136)."""
+    rng = np.random.default_rng(SEED + 4)
+    for it in range(300):
+        blob = rng.integers(0, 256, int(rng.integers(1, 64)), dtype=np.uint8).tobytes()
+        try:
+            norm, max_sv, tlog, used = fse_read_ncount(blob)
+        except (FSEError, ValueError):
+            continue
+        assert used <= len(blob) + 7
+        assert 5 <= tlog <= 15
+        total = sum(1 if v == -1 else v for v in norm)
+        assert total == (1 << tlog), f"iter {it}: incoherent distribution"
+
+
+def test_fse_garbage_decode_never_overruns(corpora):
+    rng = np.random.default_rng(SEED + 5)
+    for _ in range(N_ITERS):
+        blob = rng.integers(0, 256, int(rng.integers(2, 512)), dtype=np.uint8).tobytes()
+        try:
+            out = fse.fse_decompress(blob, 4096)
+            assert len(out) <= 4096
+        except (FSEError, ValueError):
+            pass
+
+
+def test_huf_truncated_compressed_inputs(corpora):
+    """Every truncation of a valid Huff0 block must error, not crash
+    (fuzzerHuff0.c:227-238)."""
+    src = corpora[2][:2048]
+    r = huf.huf_compress(src)
+    assert r.kind == Kind.COMPRESSED
+    rng = np.random.default_rng(SEED + 6)
+    cuts = rng.integers(1, len(r.data), 25)
+    for cut in cuts:
+        try:
+            out = huf.huf_decompress(r.data[: int(cut)], len(src))
+            assert len(out) <= len(src)
+        except (FSEError, ValueError, IndexError):
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Turbo (device, interpret mode on CPU) adversarial inputs
+# ---------------------------------------------------------------------------
+
+
+def test_turbo_fuzz_roundtrip_and_corruption(corpora):
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+
+    rng = np.random.default_rng(SEED + 7)
+    for it in range(10):
+        src = _random_slice(rng, corpora)
+        blob = rans_compress(src)
+        assert rans_decompress(blob) == src, f"iter {it}"
+        # flip one payload byte -> must raise, never return wrong data quietly
+        if len(blob) > 6200:  # past header+states
+            b = bytearray(blob)
+            b[-int(rng.integers(1, 16))] ^= 0x40
+            with pytest.raises((ValueError, FSEError)):
+                rans_decompress(bytes(b))
+
+
+def test_turbo_truncated_blob_errors():
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+    from finitestateentropy_tpu.utils import generate_proba
+
+    blob = rans_compress(generate_proba(80)[:16384])
+    for cut in (4, 10, len(blob) // 2, len(blob) - 3):
+        with pytest.raises((ValueError, FSEError, AssertionError, struct_error)):
+            rans_decompress(blob[:cut])
+
+
+
+
+
