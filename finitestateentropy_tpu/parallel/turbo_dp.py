@@ -1,0 +1,80 @@
+"""Data-parallel TurboRANS over a device mesh.
+
+Groups are embarrassingly parallel, so the sharding story is the reference's
+block-independence seam (SURVEY §2 parallelism table) at group granularity:
+group arrays shard over the mesh's `dp` axis, the Pallas kernels run
+per-shard under shard_map (XLA cannot auto-partition custom kernels), and
+the only collectives are the compressed-size reduction / all-gather used for
+order-preserving frame assembly — they ride ICI on a real slice.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.7 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..turbo.rans_kernels import rans_decode, rans_encode
+
+
+def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
+                         interpret: bool = False):
+    """(fc[G,2,128], mg[G,2,128], srcw[G,t4*8,128]) sharded over dp ->
+    (stream, final_states, csize_hw sharded; total_hw replicated)."""
+
+    def local(fc, mg, srcw):
+        stream, fin, csize = rans_encode(fc, mg, srcw, t4_count, hrows_cap,
+                                         interpret)
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return stream, fin, csize, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
+                         interpret: bool = False):
+    """(csize[G], tbl[G,16,128], init[G,8,128], hws[G,hrows,128]) ->
+    (out sharded, err sharded, any_err replicated)."""
+
+    def local(cs, tbl, init, hws):
+        out, err = rans_decode(cs, tbl, init, hws, t4_count, hrows, interpret)
+        any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
+        return out, err, any_err
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_roundtrip(mesh: Mesh, t4_count: int, hrows_cap: int,
+                            interpret: bool = False):
+    """Full encode -> decode -> verify step over the mesh (the multi-chip
+    dry-run payload): returns (ok replicated, total_hw replicated)."""
+
+    def local(fc, mg, srcw, dtbl):
+        stream, fin, csize = rans_encode(fc, mg, srcw, t4_count, hrows_cap,
+                                         interpret)
+        out, err = rans_decode(csize, dtbl, fin, stream, t4_count, hrows_cap,
+                               interpret)
+        ok = jnp.all(out == srcw) & jnp.all(err == 0)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "dp")
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return ok, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)

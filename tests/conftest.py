@@ -4,11 +4,20 @@ import sys
 from pathlib import Path
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
-# without TPU hardware; set before jax import anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# without TPU hardware; force it (the environment may preset a TPU platform)
+# before jax import anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon site plugin force-sets jax_platforms in config (beats the env
+# var), so override both; jax_num_cpu_devices is the jax>=0.7 spelling of
+# the virtual-device-count flag
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest
 
