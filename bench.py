@@ -119,6 +119,56 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     return dec_gbps, enc_gbps, ratio
 
 
+def bench_rans16(n_syms: int, g_small: int, g_big: int):
+    """FSE_U16-class workload (BASELINE config 4): log-bucketed distances."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans16 import (_pad_n16,
+                                                     parse_rans16_group,
+                                                     rans16_compress)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans16_ctables, pack_rans16_dtable, rans_decode, rans_encode)
+
+    rng = np.random.default_rng(0)
+    d = np.clip((rng.pareto(1.2, n_syms) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
+    blob = rans16_compress(d)
+    (n, cs, tlog, flags, norm, max_sv, init, payload), _ = parse_rans16_group(blob)
+    n_pad = _pad_n16(n)
+    t2 = n_pad // 2048
+    hcap = (n_pad // 128 + 16 + 7) // 8 * 8
+    fc, mg = pack_rans16_ctables(norm)
+    mfs = int(np.bincount(d).argmax())
+    pad = np.full(n_pad, mfs, np.uint16)
+    pad[:n] = d
+    srcw = pad.view("<u4").view(np.int32).reshape(t2 * 8, 128)
+
+    nbytes = 2 * n_syms
+    times_e, times_d = {}, {}
+    for G in (g_small, g_big):
+        ea = (jnp.asarray(np.broadcast_to(fc, (G, 8, 128)).copy()),
+              jnp.asarray(np.broadcast_to(mg, (G, 8, 128)).copy()),
+              jnp.asarray(np.broadcast_to(srcw, (G, t2 * 8, 128)).copy()))
+        rans_encode(*ea, t2, hcap, False, True)
+        times_e[G] = _time(lambda a=ea: rans_encode(*a, t2, hcap, False, True)[2],
+                           lambda x: np.asarray(x))
+        hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+        hws = np.zeros((G, hrows, 128), np.int32)
+        hws.reshape(G, -1)[:, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
+        da = (jnp.asarray(np.full(G, cs, np.int32)),
+              jnp.asarray(np.broadcast_to(pack_rans16_dtable(norm), (G, 16, 128)).copy()),
+              jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),
+                                          (G, 8, 128)).copy()),
+              jnp.asarray(hws))
+        outw, err = rans_decode(*da, t2, hrows, False, True)
+        assert not np.asarray(err).any()
+        times_d[G] = _time(lambda a=da, h=hrows: rans_decode(*a, t2, h, False, True)[1],
+                           lambda x: np.asarray(x))
+    enc = (g_big - g_small) * nbytes / (times_e[g_big] - times_e[g_small]) / 1e9
+    dec = (g_big - g_small) * nbytes / (times_d[g_big] - times_d[g_small]) / 1e9
+    log(f"u16dist: encode {enc:6.3f} GB/s  decode {dec:6.3f} GB/s  "
+        f"ratio {nbytes/len(blob):.2f}")
+
+
 def compat_check():
     """Compat path sanity: host twin frames byte-identical to reference CLI."""
     import subprocess, tempfile, os
@@ -157,6 +207,10 @@ def main():
     if not args.quick:
         for pb in (14, 2):
             bench_rans(args.group, args.gsmall // 2, args.gbig // 2, pb)
+        try:
+            bench_rans16(1 << 19, args.gsmall // 2, args.gbig // 2)
+        except Exception as e:
+            log("u16 bench failed:", e)
         try:
             compat_check()
         except Exception as e:  # never fail the headline on the sanity check

@@ -1,0 +1,177 @@
+"""TurboRANS-U16 — lane-interleaved rANS for 16-bit symbol alphabets.
+
+The reference's fseU16 (lib/fseU16.c, alphabets > 256 for distance/length
+streams) maps to the same 1024-lane rANS machine with a wider symbol type:
+
+* maxSymbolValue <= 1023 (covers the reference's default 286,
+  lib/fseU16.h:50); larger alphabets fall back to the host twin
+  (refimpl/fseu16.py, which supports the reference's absolute max 4095).
+* tableLog 11; decode entry packs (cumul << 21) | (freq << 10) | sym — the
+  10/11/11 bit split is why maxSV caps at 1023.
+* each output i32 word carries 2 u16 symbols, so a supercycle is 2 steps:
+  symbol i = 2*(t2*1024 + k) + p handled by lane k at step 2*t2 + p.
+
+Wire layout matches rans.py with magic 0x183EF003 and n_sym counted in
+u16 symbols.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..refimpl.ncount import fse_read_ncount, fse_write_ncount
+from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
+from .format import TURBO_LANES
+from .rans import RANS_L, RANS_TABLELOG, rans_freqs
+
+RANS16_MAGIC = 0x183EF003
+RANS16_MAX_SYMBOL = 1023
+RANS16_STEP_SYMS = 2048        # symbols per supercycle (2 per lane slot)
+FLAG_RAW = 1
+FLAG_RLE = 2
+
+_HDR = struct.Struct("<IIIBBH")
+
+
+def _pad_n16(n: int) -> int:
+    return (n + RANS16_STEP_SYMS - 1) // RANS16_STEP_SYMS * RANS16_STEP_SYMS
+
+
+def _lane_view16(src_pad: np.ndarray):
+    """[N] u16 symbols -> [T, 1024] in (decode step, lane) order."""
+    t2 = src_pad.shape[0] // RANS16_STEP_SYMS
+    m = src_pad.reshape(t2, TURBO_LANES, 2)
+    return m.transpose(0, 2, 1).reshape(t2 * 2, TURBO_LANES)
+
+
+def _unlane_view16(sym_mat: np.ndarray) -> np.ndarray:
+    t = sym_mat.shape[0]
+    m = sym_mat.reshape(t // 2, 2, TURBO_LANES).transpose(0, 2, 1)
+    return m.reshape(t * TURBO_LANES)
+
+
+def rans16_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
+    """slot -> packed i32: (cumul << 21) | (freq << 10) | sym."""
+    freq, cumul = rans_freqs(norm)
+    m = 1 << table_log
+    bounds = np.concatenate([cumul, [m]])
+    sym = np.searchsorted(bounds, np.arange(m), side="right") - 1
+    e = (cumul[sym] << 21) | (freq[sym] << 10) | sym
+    return e.astype(np.int64).astype(np.uint32).view(np.int32)
+
+
+def rans16_compress(symbols: np.ndarray) -> bytes:
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
+    n = len(symbols)
+    if n == 0:
+        return _HDR.pack(RANS16_MAGIC, 0, 0, 0, FLAG_RAW, 0)
+    max_sv = int(symbols.max())
+    if max_sv > RANS16_MAX_SYMBOL:
+        raise ValueError(f"turbo-u16 supports symbols <= {RANS16_MAX_SYMBOL}")
+    count = np.bincount(symbols, minlength=max_sv + 1).astype(np.int64)
+    if int(count.max()) == n:
+        return (_HDR.pack(RANS16_MAGIC, n, 0, 0, FLAG_RLE, 0)
+                + int(symbols[0]).to_bytes(2, "little") + b"\0" * 2)
+
+    table_log = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
+    norm, table_log = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)
+    if table_log != RANS_TABLELOG:
+        norm, table_log = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+    ncount = fse_write_ncount(norm, max_sv, table_log)
+    freq, cumul = rans_freqs(np.asarray(norm))
+    nsym = max_sv + 1
+    fr = np.ones(1024, np.int64)   # unused symbols: freq 1 avoids div-by-0
+    cu = np.zeros(1024, np.int64)
+    fr[:nsym] = freq
+    cu[:nsym] = cumul
+
+    mfs = int(count.argmax())
+    n_pad = _pad_n16(n)
+    src_pad = np.full(n_pad, mfs, dtype=np.uint16)
+    src_pad[:n] = symbols
+    syms = _lane_view16(src_pad)
+    T = syms.shape[0]
+
+    x = np.full(TURBO_LANES, RANS_L, dtype=np.uint64)
+    chunks: list[np.ndarray] = []
+    thresh_shift = 32 - table_log
+    for t in range(T - 1, -1, -1):
+        s = syms[t].astype(np.int64)
+        f = fr[s].astype(np.uint64)
+        c = cu[s].astype(np.uint64)
+        flag = x >= (f << np.uint64(thresh_shift))
+        if flag.any():
+            chunks.append((x[flag] & np.uint64(0xFFFF)).astype(np.uint16)[::-1])
+            x = np.where(flag, x >> np.uint64(16), x)
+        q = x // f
+        x = (q << np.uint64(table_log)) + c + (x - q * f)
+    stream = np.concatenate(chunks) if chunks else np.zeros(0, np.uint16)
+    csize_hw = len(stream)
+
+    ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+    out = (
+        _HDR.pack(RANS16_MAGIC, n, csize_hw, table_log, 0, len(ncount))
+        + ncount_pad + x.astype("<u4").tobytes()
+        + stream.astype("<u2").tobytes()
+    )
+    if len(out) >= 2 * n + _HDR.size:
+        return _HDR.pack(RANS16_MAGIC, n, 0, 0, FLAG_RAW, 0) + symbols.tobytes()
+    return out
+
+
+def parse_rans16_group(blob: bytes):
+    magic, n, csize_hw, table_log, flags, nc_len = _HDR.unpack_from(blob, 0)
+    if magic != RANS16_MAGIC:
+        raise ValueError("bad turbo-u16 magic")
+    pos = _HDR.size
+    if flags & FLAG_RAW:
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2 * n]), pos + 2 * n
+    if flags & FLAG_RLE:
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2]), pos + 4
+    norm, max_sv, tlog, used = fse_read_ncount(blob[pos : pos + nc_len + 8],
+                                               RANS16_MAX_SYMBOL)
+    assert tlog == table_log and used <= nc_len + 1
+    pos += nc_len + (-nc_len % 4)
+    init = np.frombuffer(blob[pos : pos + 4 * TURBO_LANES], dtype="<u4").copy()
+    pos += 4 * TURBO_LANES
+    payload = blob[pos : pos + 2 * csize_hw]
+    pos += 2 * csize_hw
+    return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,
+            init, payload), pos
+
+
+def rans16_decompress(blob: bytes) -> np.ndarray:
+    (n, csize_hw, table_log, flags, norm, max_sv, init, payload), _ = \
+        parse_rans16_group(blob)
+    if flags & FLAG_RAW:
+        return np.frombuffer(payload, "<u2").copy()
+    if flags & FLAG_RLE:
+        return np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16)
+
+    tbl = rans16_decode_table(norm, table_log).view(np.uint32).astype(np.uint64)
+    hw = np.frombuffer(payload, dtype="<u2").astype(np.uint64)
+    m_mask = np.uint64((1 << table_log) - 1)
+
+    n_pad = _pad_n16(n)
+    T = n_pad // TURBO_LANES
+    x = init.astype(np.uint64)
+    out = np.zeros((T, TURBO_LANES), dtype=np.uint16)
+    cursor = csize_hw
+    for t in range(T):
+        slot = x & m_mask
+        e = tbl[slot]
+        out[t] = (e & np.uint64(0x3FF)).astype(np.uint16)
+        f = (e >> np.uint64(10)) & np.uint64(0x7FF)
+        c = e >> np.uint64(21)
+        x = f * (x >> np.uint64(table_log)) + slot - c
+        flag = x < np.uint64(RANS_L)
+        rank = np.cumsum(flag)
+        pos = cursor - rank
+        v = (hw[np.clip(pos, 0, max(len(hw) - 1, 0))] if len(hw)
+             else np.zeros(len(pos), np.uint64))
+        x = np.where(flag, (x << np.uint64(16)) | v, x)
+        cursor -= int(rank[-1])
+    if cursor != 0 or not (x == RANS_L).all():
+        raise ValueError("turbo-u16 stream corrupt")
+    return _unlane_view16(out)[:n].copy()

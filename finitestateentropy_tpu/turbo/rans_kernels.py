@@ -123,7 +123,7 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
 
 
 def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
-                        out_ref, scr_ref, *, t4_count, hrows):
+                        out_ref, scr_ref, *, t4_count, hrows, u16=False):
     shape = (8, 128)
     g = pl.program_id(0)
     cursor0 = csize_ref[g]
@@ -138,9 +138,14 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
         for h in range(TCHUNKS):
             trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
             e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        sym = e & 0xFF
-        f = _srl(e, 8) & 0xFFF
-        c = _srl(e, 20)
+        if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
+            sym = e & 0x3FF
+            f = _srl(e, 10) & 0x7FF
+            c = _srl(e, 21)
+        else:    # (cumul << 20) | (freq << 8) | sym, rans.py
+            sym = e & 0xFF
+            f = _srl(e, 8) & 0xFFF
+            c = _srl(e, 20)
         x = f * _srl(x, RANS_TABLELOG) + slot - c
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
@@ -161,11 +166,16 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
 
     def body(t4, carry):
         x, cursor = carry
-        sym0, x, cursor = step(x, cursor)
-        sym1, x, cursor = step(x, cursor)
-        sym2, x, cursor = step(x, cursor)
-        sym3, x, cursor = step(x, cursor)
-        tile = sym0 | _sll(sym1, 8) | _sll(sym2, 16) | _sll(sym3, 24)
+        if u16:  # 2 u16 symbols per output word
+            sym0, x, cursor = step(x, cursor)
+            sym1, x, cursor = step(x, cursor)
+            tile = sym0 | _sll(sym1, 16)
+        else:    # 4 bytes per output word
+            sym0, x, cursor = step(x, cursor)
+            sym1, x, cursor = step(x, cursor)
+            sym2, x, cursor = step(x, cursor)
+            sym3, x, cursor = step(x, cursor)
+            tile = sym0 | _sll(sym1, 8) | _sll(sym2, 16) | _sll(sym3, 24)
         out_ref[pl.ds(t4 * 8, 8), :] = tile
         return x, cursor
 
@@ -176,15 +186,17 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
     out_ref[pl.ds(t4_count * 8 + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def rans_decode(csize_hw, tables, init_states, streams,
-                t4_count: int, hrows: int, interpret: bool = False):
+                t4_count: int, hrows: int, interpret: bool = False,
+                u16: bool = False):
     """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
     bits); streams[G,hrows,128] i32 (halfword-expanded payload).
     Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
     G = tables.shape[0]
     rows = t4_count * 8 + 16
-    kern = functools.partial(_rans_decode_kernel, t4_count=t4_count, hrows=hrows)
+    kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
+                             hrows=hrows, u16=u16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -213,7 +225,7 @@ def rans_decode(csize_hw, tables, init_states, streams,
 
 
 def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
-                        *, t4_count, hrows_cap):
+                        *, t4_count, hrows_cap, u16=False):
     shape = (8, 128)
     tria = _make_tria()
     tril8 = _make_tril8()
@@ -230,13 +242,18 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         r = jnp.where(big, r - f, r)
         return q, r
 
+    n_sym_chunks = 8 if u16 else 2
+
     def step(x, cursor, word, p):
-        sym = _srl(word, 8 * p) & 0xFF
+        if u16:
+            sym = _srl(word, 16 * p) & 0xFFFF
+        else:
+            sym = _srl(word, 8 * p) & 0xFF
         shi = _srl(sym, 7)
         slo = sym & 127
         e = jnp.zeros(shape, jnp.int32)
         m = jnp.zeros(shape, jnp.int32)
-        for h in range(2):
+        for h in range(n_sym_chunks):
             frow = jnp.broadcast_to(fc_ref[0, h : h + 1, :], shape)
             mrow = jnp.broadcast_to(magic_ref[0, h : h + 1, :], shape)
             hit = shi == h
@@ -285,10 +302,14 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         x, cursor = carry
         t4 = t4_count - 1 - i
         word = src_ref[pl.ds(t4 * 8, 8), :]
-        x, cursor = step(x, cursor, word, 3)
-        x, cursor = step(x, cursor, word, 2)
-        x, cursor = step(x, cursor, word, 1)
-        x, cursor = step(x, cursor, word, 0)
+        if u16:
+            x, cursor = step(x, cursor, word, 1)
+            x, cursor = step(x, cursor, word, 0)
+        else:
+            x, cursor = step(x, cursor, word, 3)
+            x, cursor = step(x, cursor, word, 2)
+            x, cursor = step(x, cursor, word, 1)
+            x, cursor = step(x, cursor, word, 0)
         return x, cursor
 
     x0 = jnp.full(shape, RANS_L, jnp.int32)
@@ -297,23 +318,26 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
     out_ref[pl.ds(hrows_cap + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def rans_encode(fc_tables, magic_tables, src_words,
-                t4_count: int, hrows_cap: int, interpret: bool = False):
-    """fc_tables[G,2,128] i32 ((cumul<<12)|freq); magic_tables[G,2,128] i32
-    (floor(2^32/freq) bits); src_words[G, t4_count*8, 128] i32.
+                t4_count: int, hrows_cap: int, interpret: bool = False,
+                u16: bool = False):
+    """fc_tables[G,nch,128] i32 ((cumul<<12)|freq); magic_tables[G,nch,128]
+    i32 (floor(2^32/freq) bits); src_words[G, t4_count*8, 128] i32.
+    nch = 2 (byte symbols) or 8 (u16 symbols <= 1023).
     Returns (stream[G,hrows_cap,128] i32 halfword-expanded, final_states
     [G,8,128] i32, csize_hw[G] i32)."""
     G = fc_tables.shape[0]
+    nch = fc_tables.shape[1]
     rows = hrows_cap + 16
     kern = functools.partial(_rans_encode_kernel, t4_count=t4_count,
-                             hrows_cap=hrows_cap)
+                             hrows_cap=hrows_cap, u16=u16)
     out = pl.pallas_call(
         kern,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 2, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t4_count * 8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -350,3 +374,26 @@ def pack_rans_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
     fc = ((c << 12) | f).astype(np.int32)
     magic = np.minimum(2**32 // f, 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     return fc.reshape(2, 128), magic.reshape(2, 128)
+
+
+def pack_rans16_dtable(norm) -> np.ndarray:
+    """[16,128] i32 u16 decode table ((cumul<<21)|(freq<<10)|sym)."""
+    from .rans16 import rans16_decode_table
+
+    t = rans16_decode_table(norm, RANS_TABLELOG)
+    out = np.zeros(TSIZE, np.int32)
+    out[: len(t)] = t
+    return out.reshape(TCHUNKS, 128)
+
+
+def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
+    """((cumul<<12)|freq)[8,128], magic[8,128] — 1024-symbol encode tables."""
+    freq, cumul = rans_freqs(np.asarray(norm))
+    f = np.ones(1024, np.int64)
+    c = np.zeros(1024, np.int64)
+    f[: len(freq)] = freq
+    c[: len(cumul)] = cumul
+    f = np.maximum(f, 1)
+    fc = ((c << 12) | f).astype(np.int32)
+    magic = np.minimum(2**32 // f, 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return fc.reshape(8, 128), magic.reshape(8, 128)

@@ -146,3 +146,52 @@ def test_rans_device_detects_corruption_interpret():
     dev[len(dev) // 2] ^= 0xFF                  # flip payload bits
     with pytest.raises(ValueError):
         turbo_decompress_device(bytes(dev), interpret=True)
+
+
+def test_rans16_twin_roundtrip_and_device_interpret():
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans16 import (
+        _pad_n16, parse_rans16_group, rans16_compress, rans16_decompress)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans16_ctables, pack_rans16_dtable, rans_decode, rans_encode)
+
+    rng = np.random.default_rng(11)
+    d = np.clip((rng.pareto(1.2, 20480) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
+    blob = rans16_compress(d)
+    assert np.array_equal(rans16_decompress(blob), d)
+
+    (n, csize_hw, tlog, flags, norm, max_sv, init, payload), _ = \
+        parse_rans16_group(blob)
+    assert flags == 0
+    n_pad = _pad_n16(n)
+    t2 = n_pad // 2048
+    hcap = (n_pad // 128 + 16 + 7) // 8 * 8
+
+    fc, mg = pack_rans16_ctables(norm)
+    mfs = int(np.bincount(d).argmax())
+    pad = np.full(n_pad, mfs, np.uint16)
+    pad[:n] = d
+    srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
+
+    stream, fin, csize = rans_encode(
+        jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
+        t2, hcap, True, True)
+    cs = int(np.asarray(csize)[0])
+    assert cs == csize_hw
+    got_hw = np.asarray(stream)[0].reshape(-1)[:cs].astype(np.uint16)
+    assert np.array_equal(got_hw, np.frombuffer(payload, "<u2"))
+    assert np.array_equal(
+        np.asarray(fin)[0].reshape(-1).view(np.uint32), init)
+
+    hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+    hws = np.zeros((1, hrows, 128), np.int32)
+    hws.reshape(1, -1)[0, :cs] = got_hw
+    out, err = rans_decode(
+        jnp.asarray(np.array([cs], np.int32)),
+        jnp.asarray(pack_rans16_dtable(norm)[None]),
+        jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+        jnp.asarray(hws), t2, hrows, True, True)
+    assert int(np.asarray(err)[0]) == 0
+    got = np.asarray(out)[0].astype("<i4").reshape(-1).view(np.uint16)[:n]
+    assert np.array_equal(got, d)
