@@ -127,12 +127,24 @@ TURBO_EXTENSION = ".tfse"
 
 
 def _turbo_main(args, verbosity: int) -> int:
-    """TurboRANS frame path: device kernels on TPU, host twin elsewhere."""
-    import jax
+    """TurboRANS frame path: device kernels on TPU, the native C++ codec on
+    hosts without one, numpy twin as the last resort."""
+    try:
+        import jax
+
+        has_tpu = jax.default_backend() != "cpu"
+    except Exception:
+        has_tpu = False
+
+    if not has_tpu:
+        from . import native
+
+        if native.available():
+            return _turbo_native_main(args, verbosity)
 
     from .turbo.api import turbo_compress_device, turbo_decompress_device
 
-    interpret = jax.default_backend() == "cpu"
+    interpret = not has_tpu
     decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
     data = open(args.input, "rb").read()
     t0 = time.perf_counter()
@@ -153,6 +165,34 @@ def _turbo_main(args, verbosity: int) -> int:
             ratio = 100.0 * len(blob) / max(len(data), 1)
             print(f"Compressed {len(data)} bytes into {len(blob)} bytes "
                   f"==> {ratio:.2f}%", file=sys.stderr)
+    return 0
+
+
+def _turbo_native_main(args, verbosity: int) -> int:
+    from .native import rans_compress_native, rans_decompress_native
+
+    decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
+    data = open(args.input, "rb").read()
+    t0 = time.perf_counter()
+    if decode:
+        out = rans_decompress_native(data)
+        if not args.test:
+            dst = args.output or args.input.removesuffix(TURBO_EXTENSION)
+            open(dst, "wb").write(out)
+        if verbosity >= 2:
+            print(f"Decoded {len(out)} bytes "
+                  f"({len(out)/max(time.perf_counter()-t0,1e-9)/1e6:.0f} MB/s, native)",
+                  file=sys.stderr)
+    else:
+        blob = rans_compress_native(data, group_size=_parse_bsize(args.group))
+        dst = args.output or args.input + TURBO_EXTENSION
+        open(dst, "wb").write(blob)
+        if verbosity >= 2:
+            ratio = 100.0 * len(blob) / max(len(data), 1)
+            print(f"Compressed {len(data)} bytes into {len(blob)} bytes "
+                  f"==> {ratio:.2f}% "
+                  f"({len(data)/max(time.perf_counter()-t0,1e-9)/1e6:.0f} MB/s, native)",
+                  file=sys.stderr)
     return 0
 
 

@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native TurboRANS host codec -> native/libturbofse.so
+set -e
+cd "$(dirname "$0")"
+${CXX:-g++} -O3 -march=native -fPIC -shared -Wall -o libturbofse.so turbofse.cc
+echo "built $(pwd)/libturbofse.so"

@@ -1,0 +1,502 @@
+// TurboRANS native host codec — C++ implementation of the TPU-native
+// lane-interleaved rANS group format (see finitestateentropy_tpu/turbo/rans.py
+// for the format spec and the bit-exact numpy twin this mirrors).
+//
+// This is the framework's fast host path: same wire bytes as the Pallas
+// kernels and the numpy twin, at native speed, used by the CLI when no TPU
+// is attached and by the frame assembler.  Normalization follows the
+// reference algorithm (fse_compress.c:316-494 semantics) so tables — and
+// hence ratios — match the TPU path exactly.
+//
+// Exported C ABI (ctypes):
+//   int64 tfse_rans_compress_group(src, n, dst, cap)        -> blob size | -1
+//   int64 tfse_rans_decompress_group(blob, len, dst, cap, *consumed) -> n | -err
+//   int64 tfse_version()
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kLanes = 1024;
+constexpr int kStepSyms = 4096;      // 4 bytes per lane slot per supercycle
+constexpr int kTableLog = 11;
+constexpr uint32_t kMagic = 0x183EF002u;
+constexpr uint32_t kL = 1u << 16;    // rANS lower bound
+constexpr int kMinTableLog = 5;
+constexpr int kFlagRaw = 1;
+constexpr int kFlagRle = 2;
+
+inline int highbit32(uint32_t v) {
+  return 31 - __builtin_clz(v);
+}
+
+// ---------------------------------------------------------------------------
+// Normalization (reference-exact; see refimpl/norm.py)
+// ---------------------------------------------------------------------------
+
+const uint64_t kRtb[8] = {0, 473195, 504333, 520860, 550000, 700000, 750000, 830000};
+
+bool normalize_m2(int16_t* norm, int table_log, const uint32_t* count,
+                  uint64_t total, int max_sv) {
+  const int16_t kNotYet = -2;
+  int distributed = 0;
+  uint64_t low_threshold = total >> table_log;
+  uint64_t low_one = (total * 3) >> (table_log + 1);
+
+  for (int s = 0; s <= max_sv; ++s) {
+    uint64_t c = count[s];
+    if (c == 0) { norm[s] = 0; continue; }
+    if (c <= low_threshold) { norm[s] = -1; ++distributed; total -= c; continue; }
+    if (c <= low_one) { norm[s] = 1; ++distributed; total -= c; continue; }
+    norm[s] = kNotYet;
+  }
+  int64_t to_distribute = (int64_t(1) << table_log) - distributed;
+  if (to_distribute == 0) return true;
+
+  if (to_distribute && (total / to_distribute) > low_one) {
+    low_one = (total * 3) / (uint64_t(to_distribute) * 2);
+    for (int s = 0; s <= max_sv; ++s) {
+      if (norm[s] == kNotYet && count[s] <= low_one) {
+        norm[s] = 1; ++distributed; total -= count[s];
+      }
+    }
+    to_distribute = (int64_t(1) << table_log) - distributed;
+  }
+
+  if (distributed == max_sv + 1) {
+    int max_v = 0; uint32_t max_c = 0;
+    for (int s = 0; s <= max_sv; ++s)
+      if (count[s] > max_c) { max_v = s; max_c = count[s]; }
+    norm[max_v] = int16_t(norm[max_v] + to_distribute);
+    return true;
+  }
+
+  if (total == 0) {
+    for (int s = 0; to_distribute > 0; s = (s + 1) % (max_sv + 1))
+      if (norm[s] > 0) { --to_distribute; ++norm[s]; }
+    return true;
+  }
+
+  int v_step_log = 62 - table_log;
+  uint64_t mid = (uint64_t(1) << (v_step_log - 1)) - 1;
+  uint64_t r_step = ((uint64_t(1) << v_step_log) * uint64_t(to_distribute) + mid) / total;
+  uint64_t tmp_total = mid;
+  for (int s = 0; s <= max_sv; ++s) {
+    if (norm[s] == kNotYet) {
+      uint64_t end = tmp_total + count[s] * r_step;
+      int64_t weight = int64_t(end >> v_step_log) - int64_t(tmp_total >> v_step_log);
+      if (weight < 1) return false;
+      norm[s] = int16_t(weight);
+      tmp_total = end;
+    }
+  }
+  return true;
+}
+
+int fse_min_table_log(uint64_t src_size, int max_sv) {
+  int min_bits_src = highbit32(uint32_t(src_size)) + 1;
+  int min_bits_symbols = highbit32(uint32_t(max_sv)) + 2;
+  return min_bits_src < min_bits_symbols ? min_bits_src : min_bits_symbols;
+}
+
+// returns table_log actually used, or -1 on failure / RLE
+int normalize_count(int16_t* norm, int table_log, const uint32_t* count,
+                    uint64_t total, int max_sv) {
+  if (table_log < fse_min_table_log(total, max_sv))
+    return -1;  // caller lowers expectations (never hit for group inputs)
+  int scale = 62 - table_log;
+  uint64_t step = (uint64_t(1) << 62) / total;
+  uint64_t v_step = uint64_t(1) << (scale - 20);
+  int64_t still = int64_t(1) << table_log;
+  int largest = 0;
+  int16_t largest_p = 0;
+  uint64_t low_threshold = total >> table_log;
+
+  for (int s = 0; s <= max_sv; ++s) {
+    uint64_t c = count[s];
+    if (c == total) return -2;  // RLE
+    if (c == 0) { norm[s] = 0; continue; }
+    if (c <= low_threshold) { norm[s] = -1; --still; continue; }
+    int16_t proba = int16_t((c * step) >> scale);
+    if (proba < 8) {
+      uint64_t rest_to_beat = v_step * kRtb[proba];
+      if (c * step - (uint64_t(proba) << scale) > rest_to_beat) ++proba;
+    }
+    if (proba > largest_p) { largest_p = proba; largest = s; }
+    norm[s] = proba;
+    still -= proba;
+  }
+  if (-still >= (norm[largest] >> 1)) {
+    if (!normalize_m2(norm, table_log, count, total, max_sv)) return -1;
+  } else {
+    norm[largest] = int16_t(norm[largest] + still);
+  }
+  return table_log;
+}
+
+// ---------------------------------------------------------------------------
+// NCount serialization (see refimpl/ncount.py)
+// ---------------------------------------------------------------------------
+
+int write_ncount(uint8_t* out, int cap, const int16_t* norm, int max_sv,
+                 int table_log) {
+  int pos = 0;
+  uint32_t bit_stream = 0;
+  int bit_count = 0;
+  int symbol = 0;
+  const int alphabet = max_sv + 1;
+  bool previous_is0 = false;
+  const int table_size = 1 << table_log;
+
+  bit_stream += uint32_t(table_log - kMinTableLog) << bit_count;
+  bit_count += 4;
+  int remaining = table_size + 1;
+  int threshold = table_size;
+  int nb_bits = table_log + 1;
+
+  auto flush16 = [&]() {
+    if (pos + 2 > cap) return false;
+    out[pos++] = uint8_t(bit_stream);
+    out[pos++] = uint8_t(bit_stream >> 8);
+    bit_stream >>= 16;
+    return true;
+  };
+
+  while (symbol < alphabet && remaining > 1) {
+    if (previous_is0) {
+      int start = symbol;
+      while (symbol < alphabet && !norm[symbol]) ++symbol;
+      if (symbol == alphabet) break;
+      while (symbol >= start + 24) {
+        start += 24;
+        bit_stream += 0xFFFFu << bit_count;
+        if (!flush16()) return -1;
+      }
+      while (symbol >= start + 3) {
+        start += 3;
+        bit_stream += 3u << bit_count;
+        bit_count += 2;
+      }
+      bit_stream += uint32_t(symbol - start) << bit_count;
+      bit_count += 2;
+      if (bit_count > 16) {
+        if (!flush16()) return -1;
+        bit_count -= 16;
+      }
+    }
+    int count = norm[symbol++];
+    int maxv = (2 * threshold - 1) - remaining;
+    remaining -= count < 0 ? -count : count;
+    ++count;  // -1 becomes 0
+    if (count >= threshold) count += maxv;
+    bit_stream += uint32_t(count) << bit_count;
+    bit_count += nb_bits;
+    if (count < maxv) --bit_count;
+    previous_is0 = (count == 1);
+    if (remaining < 1) return -1;
+    while (remaining < threshold) { --nb_bits; threshold >>= 1; }
+    if (bit_count > 16) {
+      if (!flush16()) return -1;
+      bit_count -= 16;
+    }
+  }
+  if (remaining != 1) return -1;
+  if (pos + 2 > cap) return -1;
+  out[pos++] = uint8_t(bit_stream);
+  out[pos++] = uint8_t(bit_stream >> 8);
+  return pos - 2 + (bit_count + 7) / 8;
+}
+
+// reader (see refimpl/ncount.py / entropy_common.c semantics; needs
+// look-ahead slack behind the ncount bytes, which the group layout provides)
+int read_ncount(int16_t* norm, int* max_sv_out, int* table_log_out,
+                const uint8_t* data, int hb_size, int max_sv_limit) {
+  if (hb_size < 4) return -1;
+  auto le32 = [&](int p) {
+    uint32_t v = 0;
+    for (int i = 0; i < 4 && p + i < hb_size; ++i) v |= uint32_t(data[p + i]) << (8 * i);
+    return v;
+  };
+  int ip = 0;
+  const int iend = hb_size;
+  uint32_t bit_stream = le32(0);
+  int nb_bits = int(bit_stream & 0xF) + kMinTableLog;
+  if (nb_bits > 15) return -1;
+  bit_stream >>= 4;
+  int bit_count = 4;
+  *table_log_out = nb_bits;
+  int remaining = (1 << nb_bits) + 1;
+  int threshold = 1 << nb_bits;
+  ++nb_bits;
+  int charnum = 0;
+  bool previous0 = false;
+
+  while (remaining > 1 && charnum <= max_sv_limit) {
+    if (previous0) {
+      int n0 = charnum;
+      while ((bit_stream & 0xFFFF) == 0xFFFF) {
+        n0 += 24;
+        if (ip < iend - 5) { ip += 2; bit_stream = le32(ip) >> bit_count; }
+        else { bit_stream >>= 16; bit_count += 16; }
+      }
+      while ((bit_stream & 3) == 3) { n0 += 3; bit_stream >>= 2; bit_count += 2; }
+      n0 += bit_stream & 3;
+      bit_count += 2;
+      if (n0 > max_sv_limit) return -1;
+      while (charnum < n0) norm[charnum++] = 0;
+      if (ip <= iend - 7 || ip + (bit_count >> 3) <= iend - 4) {
+        ip += bit_count >> 3;
+        bit_count &= 7;
+        bit_stream = le32(ip) >> bit_count;
+      } else {
+        bit_stream >>= 2;
+      }
+    }
+    int maxv = (2 * threshold - 1) - remaining;
+    int count;
+    if (int(bit_stream & (threshold - 1)) < maxv) {
+      count = int(bit_stream & (threshold - 1));
+      bit_count += nb_bits - 1;
+    } else {
+      count = int(bit_stream & (2 * threshold - 1));
+      if (count >= threshold) count -= maxv;
+      bit_count += nb_bits;
+    }
+    --count;
+    remaining -= count < 0 ? -count : count;
+    norm[charnum++] = int16_t(count);
+    previous0 = (count == 0);
+    while (remaining < threshold) { --nb_bits; threshold >>= 1; }
+    if (ip <= iend - 7 || ip + (bit_count >> 3) <= iend - 4) {
+      ip += bit_count >> 3;
+      bit_count &= 7;
+    } else {
+      bit_count -= 8 * (iend - 4 - ip);
+      ip = iend - 4;
+    }
+    bit_stream = le32(ip) >> (bit_count & 31);
+  }
+  if (remaining != 1 || bit_count > 32) return -1;
+  *max_sv_out = charnum - 1;
+  return ip + ((bit_count + 7) >> 3);
+}
+
+// ---------------------------------------------------------------------------
+// Group codec
+// ---------------------------------------------------------------------------
+
+struct Header {
+  uint32_t magic, n_sym, csize_hw;
+  uint8_t table_log, flags;
+  uint16_t ncount_len;
+};
+
+inline void put_header(uint8_t* p, const Header& h) {
+  std::memcpy(p, &h.magic, 4);
+  std::memcpy(p + 4, &h.n_sym, 4);
+  std::memcpy(p + 8, &h.csize_hw, 4);
+  p[12] = h.table_log;
+  p[13] = h.flags;
+  std::memcpy(p + 14, &h.ncount_len, 2);
+}
+
+inline Header get_header(const uint8_t* p) {
+  Header h;
+  std::memcpy(&h.magic, p, 4);
+  std::memcpy(&h.n_sym, p + 4, 4);
+  std::memcpy(&h.csize_hw, p + 8, 4);
+  h.table_log = p[12];
+  h.flags = p[13];
+  std::memcpy(&h.ncount_len, p + 14, 2);
+  return h;
+}
+
+// symbol of position i in (step, lane) order: i = 4*(t4*1024 + k) + p,
+// handled by lane k at step 4*t4 + p; see format.py _lane_view
+inline int sym_index(int t, int k) {
+  int t4 = t >> 2, p = t & 3;
+  return 4 * (t4 * kLanes + k) + p;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t tfse_version() { return 1; }
+
+int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
+                                 uint8_t* dst, uint64_t cap) {
+  if (cap < 16) return -1;
+  if (n == 0) {
+    Header h{kMagic, 0, 0, 0, kFlagRaw, 0};
+    put_header(dst, h);
+    return 16;
+  }
+  // histogram
+  uint32_t count[256] = {0};
+  for (uint64_t i = 0; i < n; ++i) ++count[src[i]];
+  int max_sv = 255;
+  while (max_sv > 0 && count[max_sv] == 0) --max_sv;
+  uint32_t max_count = 0;
+  int mfs = 0;
+  for (int s = 0; s <= max_sv; ++s)
+    if (count[s] > max_count) { max_count = count[s]; mfs = s; }
+  if (max_count == n) {  // RLE
+    if (cap < 20) return -1;
+    Header h{kMagic, uint32_t(n), 0, 0, kFlagRle, 0};
+    put_header(dst, h);
+    dst[16] = src[0];
+    dst[17] = dst[18] = dst[19] = 0;
+    return 20;
+  }
+
+  int16_t norm[256];
+  int tl = normalize_count(norm, kTableLog, count, n, max_sv);
+  if (tl != kTableLog) {
+    // tableLog 11 is always >= minTableLog for group-scale inputs; treat
+    // anything else as incompressible
+    goto raw;
+  }
+  {
+    uint8_t ncount[512];
+    int nc_len = write_ncount(ncount, sizeof(ncount), norm, max_sv, kTableLog);
+    if (nc_len < 0) goto raw;
+    int nc_pad = (nc_len + 3) & ~3;
+
+    // encode tables
+    uint32_t freq[256], cumul[256];
+    uint32_t acc = 0;
+    for (int s = 0; s <= max_sv; ++s) {
+      uint32_t f = norm[s] == -1 ? 1u : uint32_t(norm[s]);
+      freq[s] = f;
+      cumul[s] = acc;
+      acc += f;
+    }
+
+    uint64_t n_pad = (n + kStepSyms - 1) / kStepSyms * kStepSyms;
+    int T = int(n_pad / kLanes);
+    uint64_t header_bytes = 16 + nc_pad + 4 * kLanes;  // u32 state per lane
+    if (cap <= header_bytes) goto raw;
+    uint64_t hw_cap = (cap - header_bytes) / 2;
+    uint16_t* hw = reinterpret_cast<uint16_t*>(dst + header_bytes);
+    uint64_t hw_pos = 0;
+
+    static thread_local uint32_t x[kLanes];
+    for (int k = 0; k < kLanes; ++k) x[k] = kL;
+
+    // steps t = T-1 .. 0; within a step lanes descend (reverse of the
+    // decoder's ascending-lane reads); emissions append forward
+    for (int t = T - 1; t >= 0; --t) {
+      for (int k = kLanes - 1; k >= 0; --k) {
+        int64_t i = sym_index(t, k);
+        uint32_t s = (uint64_t(i) < n) ? src[i] : uint32_t(mfs);
+        uint32_t f = freq[s];
+        if (x[k] >= (f << (32 - kTableLog))) {
+          if (hw_pos >= hw_cap) goto raw;
+          hw[hw_pos++] = uint16_t(x[k]);
+          x[k] >>= 16;
+        }
+        uint32_t q = x[k] / f;
+        x[k] = (q << kTableLog) + cumul[s] + (x[k] - q * f);
+      }
+    }
+
+    Header h{kMagic, uint32_t(n), uint32_t(hw_pos), kTableLog, 0,
+             uint16_t(nc_len)};
+    put_header(dst, h);
+    std::memcpy(dst + 16, ncount, nc_len);
+    std::memset(dst + 16 + nc_len, 0, nc_pad - nc_len);
+    // init states = final encoder states (u32 each, flat lane order)
+    std::memcpy(dst + 16 + nc_pad, x, 4 * kLanes);
+    uint64_t out_len = header_bytes + 2 * hw_pos;
+    if (out_len >= n + 16) goto raw;
+    return int64_t(out_len);
+  }
+raw:
+  if (cap < 16 + n) return -1;
+  {
+    Header h{kMagic, uint32_t(n), 0, 0, kFlagRaw, 0};
+    put_header(dst, h);
+    std::memcpy(dst + 16, src, n);
+  }
+  return int64_t(16 + n);
+}
+
+int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
+                                   uint8_t* dst, uint64_t cap,
+                                   uint64_t* consumed) {
+  if (len < 16) return -1;
+  Header h = get_header(blob);
+  if (h.magic != kMagic) return -2;
+  uint64_t pos = 16;
+  if (h.flags & kFlagRaw) {
+    if (pos + h.n_sym > len || h.n_sym > cap) return -3;
+    std::memcpy(dst, blob + pos, h.n_sym);
+    *consumed = pos + h.n_sym;
+    return h.n_sym;
+  }
+  if (h.flags & kFlagRle) {
+    if (pos + 4 > len || h.n_sym > cap) return -3;
+    std::memset(dst, blob[pos], h.n_sym);
+    *consumed = pos + 4;
+    return h.n_sym;
+  }
+  int16_t norm[256];
+  int max_sv = 0, tl = 0;
+  int avail = int(len - pos < 520 ? len - pos : 520);
+  int used = read_ncount(norm, &max_sv, &tl, blob + pos, avail, 255);
+  if (used < 0 || tl != h.table_log || tl != kTableLog) return -4;
+  int nc_pad = (int(h.ncount_len) + 3) & ~3;
+  pos += nc_pad;
+  if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap) return -3;
+  const uint32_t* init = reinterpret_cast<const uint32_t*>(blob + pos);
+  pos += 4 * kLanes;
+  const uint16_t* hw = reinterpret_cast<const uint16_t*>(blob + pos);
+  pos += 2 * h.csize_hw;
+
+  // decode table: slot -> (sym, freq, cumul)
+  static thread_local uint8_t tsym[1 << kTableLog];
+  static thread_local uint16_t tfreq[1 << kTableLog];
+  static thread_local uint16_t tcum[1 << kTableLog];
+  {
+    int slot = 0;
+    for (int s = 0; s <= max_sv; ++s) {
+      int f = norm[s] == -1 ? 1 : norm[s];
+      for (int j = 0; j < f; ++j, ++slot) {
+        tsym[slot] = uint8_t(s);
+        tfreq[slot] = uint16_t(f);
+        tcum[slot] = uint16_t(slot - j);
+      }
+    }
+    if (slot != (1 << kTableLog)) return -4;
+  }
+
+  uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
+  int T = int(n_pad / kLanes);
+  static thread_local uint32_t x[kLanes];
+  std::memcpy(x, init, 4 * kLanes);
+  int64_t cursor = h.csize_hw;
+
+  for (int t = 0; t < T; ++t) {
+    for (int k = 0; k < kLanes; ++k) {
+      uint32_t slot = x[k] & ((1u << kTableLog) - 1);
+      int64_t i = sym_index(t, k);
+      uint8_t sym = tsym[slot];
+      if (uint64_t(i) < h.n_sym) dst[i] = sym;
+      x[k] = tfreq[slot] * (x[k] >> kTableLog) + slot - tcum[slot];
+      if (x[k] < kL) {
+        --cursor;
+        uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw ? hw[cursor] : 0;
+        x[k] = (x[k] << 16) | v;
+      }
+    }
+  }
+  if (cursor != 0) return -5;
+  for (int k = 0; k < kLanes; ++k)
+    if (x[k] != kL) return -5;
+  *consumed = pos;
+  return h.n_sym;
+}
+
+}  // extern "C"

@@ -1,0 +1,62 @@
+"""Native C++ TurboRANS codec: byte-equality with the numpy twin."""
+import numpy as np
+import pytest
+
+from finitestateentropy_tpu import native
+from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+from finitestateentropy_tpu.utils import generate_proba
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def test_native_matches_twin_bytes():
+    data = generate_proba(80)[:300000]
+    assert native.rans_compress_native(data, group_size=len(data)) == \
+        rans_compress(data)
+
+
+def test_native_roundtrip_and_cross():
+    rng = np.random.default_rng(3)
+    cases = [
+        generate_proba(80)[:150000],
+        generate_proba(14)[:70000],
+        bytes(rng.integers(0, 256, 50000, dtype=np.uint8)),  # raw fallback
+        b"Q" * 30000,                                        # RLE
+        b"",
+        b"x",
+    ]
+    for data in cases:
+        blob = native.rans_compress_native(data, group_size=65536)
+        assert native.rans_decompress_native(blob) == data
+        assert rans_decompress(blob[: _first_group_len(blob)]) == \
+            data[:_n_of(blob)] if data else True
+
+
+def _n_of(blob):
+    return int.from_bytes(blob[4:8], "little")
+
+
+def _first_group_len(blob):
+    from finitestateentropy_tpu.turbo.rans import parse_rans_group
+
+    _, used = parse_rans_group(blob)
+    return used
+
+
+def test_native_multigroup_cross_with_twin():
+    data = generate_proba(80)[:200000]
+    blob_n = native.rans_compress_native(data, group_size=65536)
+    # twin group-by-group must produce the identical stream
+    twin = b"".join(
+        rans_compress(data[i : i + 65536]) for i in range(0, len(data), 65536)
+    )
+    assert blob_n == twin
+
+
+def test_native_corruption_detected():
+    data = generate_proba(80)[:100000]
+    blob = bytearray(native.rans_compress_native(data, group_size=len(data)))
+    blob[-5] ^= 0x20
+    with pytest.raises(ValueError):
+        native.rans_decompress_native(bytes(blob))
