@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", dest="bench", action="store_true", help="benchmark mode")
     p.add_argument("-i", dest="iters", type=int, default=4, help="benchmark iterations")
     p.add_argument("-B", dest="bsize", type=str, default=None, help="block size (K/M suffix)")
+    p.add_argument("-M", dest="table_log", type=int, default=0,
+                   help="tableLog (0 = default; turbo fast mode: 9)")
     p.add_argument("-f", dest="force", action="store_true", help="overwrite output")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("-q", dest="quiet", action="count", default=0)
@@ -157,8 +159,9 @@ def _turbo_main(args, verbosity: int) -> int:
             print(f"Decoded {len(out)} bytes in {time.perf_counter()-t0:.2f}s "
                   "(includes kernel compile on first use)", file=sys.stderr)
     else:
+        kw = {"table_log": args.table_log} if args.table_log else {}
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
-                                     interpret=interpret)
+                                     interpret=interpret, **kw)
         dst = args.output or args.input + TURBO_EXTENSION
         open(dst, "wb").write(blob)
         if verbosity >= 2:

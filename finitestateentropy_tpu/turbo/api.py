@@ -31,25 +31,26 @@ def _hrows_cap(n_pad: int) -> int:
     return _round8((n_pad + 127) // 128 + 16)
 
 
-def _prep_group(chunk: np.ndarray):
+def _prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
     """Host stats for one group; returns None for RLE/raw-destined groups."""
     n = len(chunk)
     count, max_sv, max_count = hist_count(chunk, 255)
     if max_count == n:
         return None
-    tlog = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
+    tlog = min(table_log, fse_optimal_table_log(table_log, n, max_sv))
     norm, tlog = fse_normalize_count(tlog, count[: max_sv + 1], n, max_sv)
-    if tlog != RANS_TABLELOG:
-        # re-normalize at the kernel's static tableLog (always legal for
+    if tlog != table_log:
+        # re-normalize at the requested static tableLog (always legal for
         # group-scale inputs)
-        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+        norm, tlog = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)
     ncount = fse_write_ncount(norm, max_sv, tlog)
     mfs = int(count.argmax())
     return np.asarray(norm, np.int32), max_sv, ncount, mfs
 
 
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
-                          interpret: bool = False) -> bytes:
+                          interpret: bool = False,
+                          table_log: int = RANS_TABLELOG) -> bytes:
     """Compress with the TurboRANS Pallas encode kernel."""
     import jax.numpy as jnp
 
@@ -63,7 +64,7 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
     passthrough: dict[int, bytes] = {}
     for gi, ch in enumerate(chunks):
-        prep = _prep_group(ch)
+        prep = _prep_group(ch, table_log)
         if prep is None:
             passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RLE, 0) \
                 + bytes([ch[0]]) + b"\0" * 3
@@ -79,12 +80,13 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
         mg = np.zeros((G, 2, 128), np.int32)
         srcw = np.zeros((G, t4 * 8, 128), np.int32)
         for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
-            fc[j], mg[j] = pack_rans_ctables(norm)
+            fc[j], mg[j] = pack_rans_ctables(norm)  # layout is tlog-agnostic
             pad = np.full(n_pad, mfs, np.uint8)
             pad[: len(ch)] = ch
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
         stream, fin, csize = rans_encode(
-            jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap, interpret)
+            jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
+            interpret, False, table_log)
         stream = np.asarray(stream)
         fin = np.asarray(fin)
         csize = np.asarray(csize)
@@ -92,7 +94,7 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
             blob = (
-                _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), RANS_TABLELOG,
+                _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), table_log,
                           0, len(ncount))
                 + ncount_pad
                 + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
@@ -127,28 +129,28 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
             pieces[i] = bytes([payload[0]]) * n
         else:
             n_pad = _pad_n(n)
-            hrows = _round8((csize_hw + 127) // 128 + 16)
-            batches.setdefault((n_pad, 0), []).append(i)
+            batches.setdefault((n_pad, tlog), []).append(i)
 
-    for (n_pad, _), idxs in batches.items():
+    for (n_pad, tlog), idxs in batches.items():
         G = len(idxs)
         t4 = n_pad // TURBO_STEP_SYMS
         hrows = _round8(
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
-        tbl = np.zeros((G, 16, 128), np.int32)
+        tch = max((1 << tlog) // 128, 1)
+        tbl = np.zeros((G, tch, 128), np.int32)
         init = np.zeros((G, 8, 128), np.int32)
         hws = np.zeros((G, hrows, 128), np.int32)
         cs = np.zeros(G, np.int32)
         for j, i in enumerate(idxs):
-            n, csize_hw, tlog, flags, norm, max_sv, ini, payload = groups[i]
-            tbl[j] = pack_rans_dtable(norm)
+            n, csize_hw, _tl, flags, norm, max_sv, ini, payload = groups[i]
+            tbl[j] = pack_rans_dtable(norm, tlog)
             init[j] = ini.view(np.int32).reshape(8, 128)
             hw = np.frombuffer(payload, "<u2").astype(np.int32)
             hws[j].reshape(-1)[: len(hw)] = hw
             cs[j] = csize_hw
         outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
                                 jnp.asarray(init), jnp.asarray(hws),
-                                t4, hrows, interpret)
+                                t4, hrows, interpret, False, tlog)
         err = np.asarray(err)
         if err.any():
             raise ValueError(f"turbo-rans device decode: corrupt groups {np.nonzero(err)[0]}")

@@ -71,7 +71,7 @@ def rans_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
     return e.astype(np.int64).astype(np.uint32).view(np.int32)
 
 
-def rans_compress(data: bytes) -> bytes:
+def rans_compress(data: bytes, table_log: int = RANS_TABLELOG) -> bytes:
     n = len(data)
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
@@ -80,7 +80,7 @@ def rans_compress(data: bytes) -> bytes:
     if max_count == n:
         return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RLE, 0) + bytes([src[0]]) + b"\0" * 3
 
-    table_log = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
+    table_log = min(table_log, fse_optimal_table_log(table_log, n, max_sv))
     norm, table_log = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)
     ncount = fse_write_ncount(norm, max_sv, table_log)
     freq, cumul = rans_freqs(np.asarray(norm))

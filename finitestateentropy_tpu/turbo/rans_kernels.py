@@ -123,19 +123,23 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
 
 
 def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
-                        out_ref, scr_ref, *, t4_count, hrows, u16=False):
+                        out_ref, scr_ref, *, t4_count, hrows, u16=False,
+                        tlog=RANS_TABLELOG):
     shape = (8, 128)
     g = pl.program_id(0)
     cursor0 = csize_ref[g]
     tria = _make_tria()
     tril8 = _make_tril8()
 
+    tsize = 1 << tlog
+    tchunks = max(tsize // 128, 1)
+
     def step(x, cursor):
-        slot = x & (TSIZE - 1)
+        slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
         e = jnp.zeros(shape, jnp.int32)
-        for h in range(TCHUNKS):
+        for h in range(tchunks):
             trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
             e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
         if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
@@ -146,7 +150,7 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
             sym = e & 0xFF
             f = _srl(e, 8) & 0xFFF
             c = _srl(e, 20)
-        x = f * _srl(x, RANS_TABLELOG) + slot - c
+        x = f * _srl(x, tlog) + slot - c
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
         pos = cursor - rank
@@ -186,22 +190,23 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
     out_ref[pl.ds(t4_count * 8 + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def rans_decode(csize_hw, tables, init_states, streams,
                 t4_count: int, hrows: int, interpret: bool = False,
-                u16: bool = False):
+                u16: bool = False, tlog: int = RANS_TABLELOG):
     """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
     bits); streams[G,hrows,128] i32 (halfword-expanded payload).
     Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
     G = tables.shape[0]
     rows = t4_count * 8 + 16
     kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
-                             hrows=hrows, u16=u16)
+                             hrows=hrows, u16=u16, tlog=tlog)
+    tch = tables.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, 16, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tch, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hrows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
         ],
@@ -225,11 +230,12 @@ def rans_decode(csize_hw, tables, init_states, streams,
 
 
 def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
-                        *, t4_count, hrows_cap, u16=False):
+                        *, t4_count, hrows_cap, u16=False,
+                        tlog=RANS_TABLELOG):
     shape = (8, 128)
     tria = _make_tria()
     tril8 = _make_tril8()
-    thresh_shift = 32 - RANS_TABLELOG
+    thresh_shift = 32 - tlog
 
     def div(x, f, m):
         q = _mulhi32(x, m)
@@ -266,7 +272,7 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         emit = x & 0xFFFF
         x = jnp.where(flag, _srl(x, 16), x)
         q, r = div(x, f, m)
-        x = _sll(q, RANS_TABLELOG) + c + r
+        x = _sll(q, tlog) + c + r
 
         rank, total = _flag_prefix(flag.astype(jnp.int32), tria, tril8, scr_ref, shape)
 
@@ -318,10 +324,10 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
     out_ref[pl.ds(hrows_cap + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rans_encode(fc_tables, magic_tables, src_words,
                 t4_count: int, hrows_cap: int, interpret: bool = False,
-                u16: bool = False):
+                u16: bool = False, tlog: int = RANS_TABLELOG):
     """fc_tables[G,nch,128] i32 ((cumul<<12)|freq); magic_tables[G,nch,128]
     i32 (floor(2^32/freq) bits); src_words[G, t4_count*8, 128] i32.
     nch = 2 (byte symbols) or 8 (u16 symbols <= 1023).
@@ -331,7 +337,7 @@ def rans_encode(fc_tables, magic_tables, src_words,
     nch = fc_tables.shape[1]
     rows = hrows_cap + 16
     kern = functools.partial(_rans_encode_kernel, t4_count=t4_count,
-                             hrows_cap=hrows_cap, u16=u16)
+                             hrows_cap=hrows_cap, u16=u16, tlog=tlog)
     out = pl.pallas_call(
         kern,
         grid=(G,),
@@ -355,12 +361,13 @@ def rans_encode(fc_tables, magic_tables, src_words,
 # ---------------------------------------------------------------------------
 
 
-def pack_rans_dtable(norm) -> np.ndarray:
-    """[16,128] i32 decode table for the kernel."""
-    t = rans_decode_table(norm, RANS_TABLELOG)
-    out = np.zeros(TSIZE, np.int32)
+def pack_rans_dtable(norm, tlog: int = RANS_TABLELOG) -> np.ndarray:
+    """[tchunks,128] i32 decode table for the kernel."""
+    t = rans_decode_table(norm, tlog)
+    n = max(1 << tlog, 128)
+    out = np.zeros(n, np.int32)
     out[: len(t)] = t
-    return out.reshape(TCHUNKS, 128)
+    return out.reshape(n // 128, 128)
 
 
 def pack_rans_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
