@@ -78,9 +78,29 @@ def _bench_turbo(data: bytes, iters: int, group_size: int):
     return len(blob), best_c, best_d
 
 
+def _bench_zlibh_via_reference(path: str, iters: int):
+    """zlibh is a comparison baseline only (SURVEY #27): run the reference
+    binary's own benchmark mode rather than porting zlib's Huffman."""
+    import subprocess
+
+    ref = Path(__file__).resolve().parents[2] / "tools/ref/bin/fse"
+    if not ref.exists():
+        log("zlibh: reference binary unavailable (run tools/ref/build.sh)")
+        return 1
+    out = subprocess.run([str(ref), "-b", "-z", f"-i{iters}", path],
+                         capture_output=True, text=True)
+    for line in (out.stdout + out.stderr).splitlines():
+        if line.strip():
+            log(f"zlibh(ref) {line.strip()}")
+    return out.returncode
+
+
 def bench_files(paths, codec="fse", iters=4, block_size=DEFAULT_CHUNKSIZE,
                 device="host") -> int:
     for path in [p for p in paths if p]:
+        if codec == "zlibh":
+            _bench_zlibh_via_reference(path, iters)
+            continue
         data = Path(path).read_bytes()
         n = len(data)
         if device == "turbo":
