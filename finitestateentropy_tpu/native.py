@@ -39,6 +39,11 @@ def _load():
     lib.tfse_rans_decompress_group.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64)]
+    lib.tfse_prep_group.restype = ctypes.c_int64
+    lib.tfse_prep_group.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return _lib
 
@@ -62,6 +67,27 @@ def rans_compress_native(data: bytes, group_size: int = 1 << 20) -> bytes:
             raise RuntimeError(f"native compress failed: {r}")
         out += dst.raw[:r]
     return bytes(out)
+
+
+def prep_group_native(chunk: bytes, table_log: int = 11):
+    """Group stats via C: returns (norm, max_sv, ncount, mfs), None for RLE,
+    or the string "fallback" when the native path cannot handle the input."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return "fallback"
+    norm = (ctypes.c_int16 * 256)()
+    ncount = ctypes.create_string_buffer(512)
+    meta = (ctypes.c_int64 * 3)()
+    r = lib.tfse_prep_group(chunk, len(chunk), table_log, norm, ncount, meta)
+    if r == 0:
+        return None  # RLE
+    if r != 1:
+        return "fallback"
+    max_sv, mfs, nc_len = int(meta[0]), int(meta[1]), int(meta[2])
+    return (np.frombuffer(norm, np.int16, max_sv + 1).astype(np.int32),
+            max_sv, ncount.raw[:nc_len], mfs)
 
 
 def rans_decompress_native(blob: bytes) -> bytes:

@@ -48,6 +48,17 @@ def _prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
     return np.asarray(norm, np.int32), max_sv, ncount, mfs
 
 
+def prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
+    """_prep_group via the native C library when available (bit-exact)."""
+    from .. import native
+
+    if native.available():
+        r = native.prep_group_native(bytes(chunk), table_log)
+        if r != "fallback":
+            return r  # stats tuple, or None for RLE groups
+    return _prep_group(chunk, table_log)
+
+
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
                           table_log: int = RANS_TABLELOG) -> bytes:
@@ -60,11 +71,12 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     chunks = [src[i : i + group_size] for i in range(0, len(src), group_size)]
 
     out = bytearray()
-    # batch groups by padded size (all-but-last are uniform)
+    # batch groups by padded size (all-but-last are uniform); stats use the
+    # native C prep when built (python normalization is GIL-bound)
     batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
     passthrough: dict[int, bytes] = {}
     for gi, ch in enumerate(chunks):
-        prep = _prep_group(ch, table_log)
+        prep = prep_group(ch, table_log)
         if prep is None:
             passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RLE, 0) \
                 + bytes([ch[0]]) + b"\0" * 3

@@ -31,6 +31,21 @@ inline int highbit32(uint32_t v) {
   return 31 - __builtin_clz(v);
 }
 
+// 4 interleaved count tables break the store-to-load dependence (the
+// reference's HIST_count_parallel_wksp trick, hist.c:58-133)
+void histogram(const uint8_t* src, uint64_t n, uint32_t* count) {
+  uint32_t c0[256] = {0}, c1[256] = {0}, c2[256] = {0}, c3[256] = {0};
+  uint64_t i = 0;
+  for (; i + 4 <= n; i += 4) {
+    ++c0[src[i]];
+    ++c1[src[i + 1]];
+    ++c2[src[i + 2]];
+    ++c3[src[i + 3]];
+  }
+  for (; i < n; ++i) ++c0[src[i]];
+  for (int s = 0; s < 256; ++s) count[s] = c0[s] + c1[s] + c2[s] + c3[s];
+}
+
 // ---------------------------------------------------------------------------
 // Normalization (reference-exact; see refimpl/norm.py)
 // ---------------------------------------------------------------------------
@@ -325,6 +340,34 @@ extern "C" {
 
 int64_t tfse_version() { return 1; }
 
+// Group stats only (histogram + normalization + NCount) — the host-side
+// prep for the TPU encode path.  meta = [max_sv, mfs, nc_len] out.
+// Returns 1 ok, 0 RLE, -1 fallback (caller uses the python twin).
+int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
+                        int16_t* norm_out, uint8_t* ncount_out,
+                        int64_t* meta) {
+  if (n == 0 || tlog != kTableLog) return -1;
+  uint32_t count[256];
+  histogram(src, n, count);
+  int max_sv = 255;
+  while (max_sv > 0 && count[max_sv] == 0) --max_sv;
+  uint32_t max_count = 0;
+  int mfs = 0;
+  for (int s = 0; s <= max_sv; ++s)
+    if (count[s] > max_count) { max_count = count[s]; mfs = s; }
+  if (max_count == n) return 0;  // RLE
+  int16_t norm[256];
+  if (normalize_count(norm, kTableLog, count, n, max_sv) != kTableLog)
+    return -1;
+  int nc_len = write_ncount(ncount_out, 512, norm, max_sv, kTableLog);
+  if (nc_len < 0) return -1;
+  std::memcpy(norm_out, norm, sizeof(int16_t) * (max_sv + 1));
+  meta[0] = max_sv;
+  meta[1] = mfs;
+  meta[2] = nc_len;
+  return 1;
+}
+
 int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
                                  uint8_t* dst, uint64_t cap) {
   if (cap < 16) return -1;
@@ -334,8 +377,8 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
     return 16;
   }
   // histogram
-  uint32_t count[256] = {0};
-  for (uint64_t i = 0; i < n; ++i) ++count[src[i]];
+  uint32_t count[256];
+  histogram(src, n, count);
   int max_sv = 255;
   while (max_sv > 0 && count[max_sv] == 0) --max_sv;
   uint32_t max_count = 0;
