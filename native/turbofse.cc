@@ -407,13 +407,16 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
     if (nc_len < 0) goto raw;
     int nc_pad = (nc_len + 3) & ~3;
 
-    // encode tables
-    uint32_t freq[256], cumul[256];
+    // encode tables; magic multipliers replace the hardware divide
+    // (q = mulhi(x, floor(2^32/f)) with <= 2 corrections, as in the kernel)
+    uint32_t freq[256], cumul[256], magic[256];
     uint32_t acc = 0;
     for (int s = 0; s <= max_sv; ++s) {
       uint32_t f = norm[s] == -1 ? 1u : uint32_t(norm[s]);
       freq[s] = f;
       cumul[s] = acc;
+      uint64_t m = (uint64_t(1) << 32) / (f ? f : 1);  // absent symbols unused
+      magic[s] = uint32_t(m > 0xFFFFFFFFull ? 0xFFFFFFFFull : m);
       acc += f;
     }
 
@@ -435,13 +438,17 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
         int64_t i = sym_index(t, k);
         uint32_t s = (uint64_t(i) < n) ? src[i] : uint32_t(mfs);
         uint32_t f = freq[s];
-        if (x[k] >= (f << (32 - kTableLog))) {
+        uint32_t xv = x[k];
+        if (xv >= (f << (32 - kTableLog))) {
           if (hw_pos >= hw_cap) goto raw;
-          hw[hw_pos++] = uint16_t(x[k]);
-          x[k] >>= 16;
+          hw[hw_pos++] = uint16_t(xv);
+          xv >>= 16;
         }
-        uint32_t q = x[k] / f;
-        x[k] = (q << kTableLog) + cumul[s] + (x[k] - q * f);
+        uint32_t q = uint32_t((uint64_t(xv) * magic[s]) >> 32);
+        uint32_t r = xv - q * f;
+        if (r >= f) { ++q; r -= f; }
+        if (r >= f) { ++q; r -= f; }
+        x[k] = (q << kTableLog) + cumul[s] + r;
       }
     }
 
@@ -498,19 +505,14 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   const uint16_t* hw = reinterpret_cast<const uint16_t*>(blob + pos);
   pos += 2 * h.csize_hw;
 
-  // decode table: slot -> (sym, freq, cumul)
-  static thread_local uint8_t tsym[1 << kTableLog];
-  static thread_local uint16_t tfreq[1 << kTableLog];
-  static thread_local uint16_t tcum[1 << kTableLog];
+  // decode table packed as in the kernel: (slot-cumul) << 20 | freq << 8 | sym
+  static thread_local uint32_t tbl[1 << kTableLog];
   {
     int slot = 0;
     for (int s = 0; s <= max_sv; ++s) {
       int f = norm[s] == -1 ? 1 : norm[s];
-      for (int j = 0; j < f; ++j, ++slot) {
-        tsym[slot] = uint8_t(s);
-        tfreq[slot] = uint16_t(f);
-        tcum[slot] = uint16_t(slot - j);
-      }
+      for (int j = 0; j < f; ++j, ++slot)
+        tbl[slot] = (uint32_t(j) << 20) | (uint32_t(f) << 8) | uint32_t(s);
     }
     if (slot != (1 << kTableLog)) return -4;
   }
@@ -518,20 +520,39 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
   int T = int(n_pad / kLanes);
   static thread_local uint32_t x[kLanes];
+  static thread_local uint8_t syms[kLanes];
+  static thread_local uint8_t flags[kLanes];
   std::memcpy(x, init, 4 * kLanes);
   int64_t cursor = h.csize_hw;
+  uint64_t full_t = h.n_sym / kStepSyms * 4;  // steps with no dst guard
 
   for (int t = 0; t < T; ++t) {
+    // pass 1: advance all lanes (vectorizable — no cross-lane dependence)
     for (int k = 0; k < kLanes; ++k) {
-      uint32_t slot = x[k] & ((1u << kTableLog) - 1);
-      int64_t i = sym_index(t, k);
-      uint8_t sym = tsym[slot];
-      if (uint64_t(i) < h.n_sym) dst[i] = sym;
-      x[k] = tfreq[slot] * (x[k] >> kTableLog) + slot - tcum[slot];
-      if (x[k] < kL) {
+      uint32_t xv = x[k];
+      uint32_t slot = xv & ((1u << kTableLog) - 1);
+      uint32_t e = tbl[slot];
+      syms[k] = uint8_t(e);
+      xv = ((e >> 8) & 0xFFF) * (xv >> kTableLog) + (e >> 20);
+      flags[k] = xv < kL;
+      x[k] = xv;
+    }
+    // pass 2: serial halfword ingestion in lane order
+    for (int k = 0; k < kLanes; ++k) {
+      if (flags[k]) {
         --cursor;
         uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw ? hw[cursor] : 0;
         x[k] = (x[k] << 16) | v;
+      }
+    }
+    // pass 3: scatter symbols to their byte positions
+    uint8_t* base = dst + (int64_t(t >> 2) * kStepSyms + (t & 3));
+    if (uint64_t(t) < full_t) {
+      for (int k = 0; k < kLanes; ++k) base[4 * k] = syms[k];
+    } else {
+      for (int k = 0; k < kLanes; ++k) {
+        int64_t i = sym_index(t, k);
+        if (uint64_t(i) < h.n_sym) dst[i] = syms[k];
       }
     }
   }
