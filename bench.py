@@ -169,6 +169,56 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
         f"ratio {nbytes/len(blob):.2f}")
 
 
+def bench_mixed(g_small: int, g_big: int):
+    """BASELINE config 5: mixed corpus with per-group auto coding (rANS /
+    RLE / raw fallbacks chosen per group, fileio.c:347-404 analogue)."""
+    import time
+
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+    from finitestateentropy_tpu.utils import generate_proba
+
+    rng = np.random.default_rng(1)
+    section = 1 << 18
+    parts = []
+    base80, base14 = generate_proba(80), generate_proba(14)
+    for i in range(64):
+        k = i % 4
+        if k == 0:
+            parts.append(base80[(i * 7919) % 500000 :][:section])
+        elif k == 1:
+            parts.append(base14[(i * 104729) % 500000 :][:section])
+        elif k == 2:
+            parts.append(bytes(rng.integers(0, 256, section, dtype=np.uint8)))
+        else:
+            parts.append(bytes([i & 0xFF]) * section)
+    data = b"".join(parts)
+
+    # correctness of per-group auto-coding through the device kernels
+    blob = turbo_compress_device(data[: 4 << 20], group_size=1 << 20)
+    assert turbo_decompress_device(blob) == data[: 4 << 20]
+
+    # end-to-end timing via the native host path (this box reaches the TPU
+    # through a tunnel whose transfer cost would dominate; kernel-level
+    # device rates are the per-corpus lines above)
+    from finitestateentropy_tpu import native
+
+    if native.available():
+        import time as _t
+
+        t0 = _t.perf_counter()
+        nblob = native.rans_compress_native(data, group_size=1 << 20)
+        t_enc = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        out = native.rans_decompress_native(nblob)
+        t_dec = _t.perf_counter() - t0
+        assert out == data
+        log(f"mixed  : auto-coded ratio {len(data)/len(nblob):.2f}; host-native "
+            f"end-to-end enc {len(data)/t_enc/1e6:.0f} MB/s dec {len(data)/t_dec/1e6:.0f} MB/s")
+    else:
+        log(f"mixed  : auto-coded ratio {len(data[:4<<20])/len(blob):.2f} (device kernels ok)")
+
+
 def compat_check():
     """Compat path sanity: host twin frames byte-identical to reference CLI."""
     import subprocess, tempfile, os
@@ -211,6 +261,12 @@ def main():
             bench_rans16(1 << 19, args.gsmall // 2, args.gbig // 2)
         except Exception as e:
             log("u16 bench failed:", e)
+        try:
+            bench_mixed(args.gsmall // 2, args.gbig // 2)
+        except Exception as e:
+            log("mixed bench failed:", e)
+        log("config map: FSE/Huff0 workload classes -> TurboRANS (see "
+            "PERFORMANCE.md; compat twins cover wire parity, not speed)")
         try:
             compat_check()
         except Exception as e:  # never fail the headline on the sanity check
