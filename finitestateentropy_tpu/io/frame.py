@@ -59,6 +59,10 @@ def _host_batch_decompressor(codec: str) -> BatchDecompressor:
         from ..refimpl.huf import huf_decompress
 
         return lambda items: [huf_decompress(c, n) for c, n in items]
+    if codec == "zlibh":
+        from ..refimpl.zlibh import zlibh_decompress
+
+        return lambda items: [zlibh_decompress(c, n) for c, n in items]
     raise FSEError(GENERIC, f"unsupported codec: {codec}")
 
 

@@ -1,0 +1,46 @@
+"""zlibh decoder vs frames produced by the reference CLI's -z codec."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_ref
+
+
+@requires_ref
+@pytest.mark.parametrize("kind", ["p20", "p90ish", "text", "noise"])
+def test_zlibh_frames_decode(tmp_path, ref_fse, ref_probagen, kind):
+    rng = np.random.default_rng(42)
+    if kind == "p20":
+        subprocess.run([ref_probagen, "20%"], cwd=tmp_path, check=True,
+                       capture_output=True)
+        data = (tmp_path / "proba.bin").read_bytes()[:200000]
+    elif kind == "p90ish":
+        data = bytes(rng.choice(4, 150000, p=[0.9, 0.06, 0.03, 0.01]).astype(np.uint8))
+    elif kind == "text":
+        data = (b"the quick brown fox jumps over the lazy dog. " * 3000)[:120000]
+    else:
+        data = bytes(rng.integers(0, 256, 100000, dtype=np.uint8))
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    comp = tmp_path / "in.zlh"
+    subprocess.run([ref_fse, "-z", "-f", str(src), str(comp)], check=True,
+                   capture_output=True)
+
+    from finitestateentropy_tpu.io.frame import decompress_bytes
+
+    assert decompress_bytes(comp.read_bytes()) == data
+
+
+@requires_ref
+def test_zlibh_small_and_rle_blocks(tmp_path, ref_fse):
+    for data in (b"x" * 50000, b"ab" * 25000, b"z"):
+        src = tmp_path / "in.bin"
+        src.write_bytes(data)
+        comp = tmp_path / "in.zlh"
+        subprocess.run([ref_fse, "-z", "-f", str(src), str(comp)], check=True,
+                       capture_output=True)
+        from finitestateentropy_tpu.io.frame import decompress_bytes
+
+        assert decompress_bytes(comp.read_bytes()) == data
