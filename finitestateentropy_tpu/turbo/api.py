@@ -171,3 +171,94 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
             n = groups[i][0]
             pieces[i] = outw[j].astype("<i4").tobytes()[:n]
     return b"".join(pieces)
+
+
+# ---------------------------------------------------------------------------
+# TurboRANS-U16 (fseU16-class workloads: 16-bit symbols <= 1023)
+# ---------------------------------------------------------------------------
+
+
+def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
+                            interpret: bool = False) -> bytes:
+    """Compress a u16 symbol array with the TurboRANS-U16 kernels."""
+    import jax.numpy as jnp
+
+    from .rans16 import (RANS16_MAGIC, RANS16_MAX_SYMBOL, RANS16_STEP_SYMS,
+                         _HDR as HDR16, _pad_n16, rans16_compress)
+    from .rans_kernels import pack_rans16_ctables
+
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
+    out = bytearray()
+    for i in range(0, max(len(symbols), 1), group_syms):
+        chunk = symbols[i : i + group_syms]
+        n = len(chunk)
+        if n == 0 or int(chunk.max(initial=0)) > RANS16_MAX_SYMBOL:
+            out += rans16_compress(chunk)  # twin handles empty/oversized
+            continue
+        count = np.bincount(chunk, minlength=1024)
+        if int(count.max()) == n:
+            out += rans16_compress(chunk)  # RLE via twin (tiny)
+            continue
+        from ..refimpl.ncount import fse_write_ncount
+        from ..refimpl.norm import fse_normalize_count
+
+        max_sv = int(chunk.max())
+        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+        ncount = fse_write_ncount(norm, max_sv, tlog)
+        fc, mg = pack_rans16_ctables(np.asarray(norm))
+        mfs = int(count.argmax())
+        n_pad = _pad_n16(n)
+        t2 = n_pad // RANS16_STEP_SYMS
+        hcap = _round8(n_pad // 128 + 16)
+        pad = np.full(n_pad, mfs, np.uint16)
+        pad[:n] = chunk
+        srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
+        stream, fin, csize = rans_encode(
+            jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
+            t2, hcap, interpret, True)
+        cs = int(np.asarray(csize)[0])
+        hw = np.asarray(stream)[0].reshape(-1)[:cs].astype(np.uint16)
+        ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+        blob = (HDR16.pack(RANS16_MAGIC, n, cs, tlog, 0, len(ncount))
+                + ncount_pad
+                + np.asarray(fin)[0].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + hw.astype("<u2").tobytes())
+        if len(blob) >= 2 * n + HDR16.size:
+            blob = HDR16.pack(RANS16_MAGIC, n, 0, 0, 1, 0) + chunk.tobytes()
+        out += blob
+    return bytes(out)
+
+
+def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarray:
+    """Decompress a TurboRANS-U16 stream with the Pallas decode kernel."""
+    import jax.numpy as jnp
+
+    from .rans16 import RANS16_STEP_SYMS, _pad_n16, parse_rans16_group
+    from .rans_kernels import pack_rans16_dtable
+
+    pieces = []
+    pos = 0
+    while pos < len(blob):
+        (n, cs, tlog, flags, norm, max_sv, init, payload), used = \
+            parse_rans16_group(blob[pos:])
+        pos += used
+        if flags & 1:
+            pieces.append(np.frombuffer(payload, "<u2"))
+            continue
+        if flags & 2:
+            pieces.append(np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16))
+            continue
+        n_pad = _pad_n16(n)
+        t2 = n_pad // RANS16_STEP_SYMS
+        hrows = _round8((cs + 127) // 128 + 16)
+        hws = np.zeros((1, hrows, 128), np.int32)
+        hws.reshape(1, -1)[0, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
+        outw, err = rans_decode(
+            jnp.asarray(np.array([cs], np.int32)),
+            jnp.asarray(pack_rans16_dtable(norm)[None]),
+            jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+            jnp.asarray(hws), t2, hrows, interpret, True, tlog)
+        if np.asarray(err)[0]:
+            raise ValueError("turbo-u16 device decode: corrupt group")
+        pieces.append(np.asarray(outw)[0].astype("<i4").reshape(-1).view(np.uint16)[:n].copy())
+    return np.concatenate(pieces) if pieces else np.zeros(0, np.uint16)

@@ -195,3 +195,22 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     assert int(np.asarray(err)[0]) == 0
     got = np.asarray(out)[0].astype("<i4").reshape(-1).view(np.uint16)[:n]
     assert np.array_equal(got, d)
+
+
+def test_turbo16_device_api_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo16_compress_device,
+                                                  turbo16_decompress_device)
+    from finitestateentropy_tpu.turbo.rans16 import rans16_compress
+
+    rng = np.random.default_rng(1)
+    d = np.clip((rng.pareto(1.2, 40000) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
+    blob = turbo16_compress_device(d, group_syms=16384, interpret=True)
+    twin = b"".join(rans16_compress(d[i : i + 16384])
+                    for i in range(0, len(d), 16384))
+    assert blob == twin
+    assert np.array_equal(turbo16_decompress_device(blob, interpret=True), d)
+    # RLE + empty groups through the API
+    rle = np.full(5000, 286, np.uint16)
+    assert np.array_equal(
+        turbo16_decompress_device(turbo16_compress_device(rle, interpret=True),
+                                  interpret=True), rle)
