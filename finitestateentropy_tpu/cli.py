@@ -91,9 +91,6 @@ def main(argv=None) -> int:
     from .io import frame as fio
 
     codec = args.codec or "fse"
-    if codec == "zlibh":
-        print("zlibh codec is provided by the reference binary only", file=sys.stderr)
-        return 1
 
     decode = args.decode or args.test or (args.input.endswith(FSE_EXTENSION) and not args.codec)
     t0 = time.perf_counter()

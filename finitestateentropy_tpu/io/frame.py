@@ -47,6 +47,14 @@ def _host_batch_compressor(codec: str) -> BatchCompressor:
         from ..refimpl.huf import huf_compress
 
         return lambda blocks: [huf_compress(b) for b in blocks]
+    if codec == "zlibh":
+        from ..refimpl.blocktypes import BlockResult
+        from ..refimpl.zlibh import zlibh_compress
+
+        # ZLIBH_compress never signals raw/rle (fileio.c:347-349 applies
+        # those only to return codes 0/1), so every block is "compressed"
+        return lambda blocks: [BlockResult.compressed(zlibh_compress(b))
+                               for b in blocks]
     raise FSEError(GENERIC, f"unsupported codec: {codec}")
 
 

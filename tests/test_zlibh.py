@@ -44,3 +44,29 @@ def test_zlibh_small_and_rle_blocks(tmp_path, ref_fse):
         from finitestateentropy_tpu.io.frame import decompress_bytes
 
         assert decompress_bytes(comp.read_bytes()) == data
+
+
+@requires_ref
+@pytest.mark.parametrize("kind", ["p20", "noise", "text", "rle"])
+def test_zlibh_encode_byte_identical(tmp_path, ref_fse, ref_probagen, kind):
+    rng = np.random.default_rng(9)
+    if kind == "p20":
+        subprocess.run([ref_probagen, "20%"], cwd=tmp_path, check=True,
+                       capture_output=True)
+        data = (tmp_path / "proba.bin").read_bytes()[:300000]
+    elif kind == "noise":
+        data = bytes(rng.integers(0, 256, 200000, dtype=np.uint8))
+    elif kind == "text":
+        data = (b"few symbols: abcabcababc " * 10000)[:200000]
+    else:
+        data = b"Q" * 150000
+
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    ref_out = tmp_path / "ref.zlh"
+    subprocess.run([ref_fse, "-z", "-f", str(src), str(ref_out)], check=True,
+                   capture_output=True)
+
+    from finitestateentropy_tpu.io.frame import compress_bytes
+
+    assert compress_bytes(data, codec="zlibh") == ref_out.read_bytes()
