@@ -64,7 +64,8 @@ def _time(fn, sync, iters=3):
 def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     import jax.numpy as jnp
 
-    from finitestateentropy_tpu.turbo.rans_kernels import rans_decode, rans_encode
+    from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
+                                                           rans_encode)
 
     p = _prep(group_bytes, proba)
     fc, mg = p["fc_mg"]
@@ -82,14 +83,15 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     enc_out = {}
     for G in (g_small, g_big):
         a = enc_args(G)
-        stream, fin, csize = rans_encode(*a, t4, hcap)  # compile+warm
+        stream, fin, csize, stots = rans_encode(*a, t4, hcap)  # compile+warm
         cs = int(np.asarray(csize)[0])
-        enc_out[G] = (np.asarray(stream)[0].reshape(-1)[:cs], np.asarray(fin)[0], cs)
+        enc_out[G] = (np.asarray(stream)[0].reshape(-1)[:cs], np.asarray(fin)[0],
+                      cs, np.asarray(stots)[0])
         times[G] = _time(lambda a=a: rans_encode(*a, t4, hcap)[2],
                          lambda x: np.asarray(x))
     enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
-    hw, fin, cs = enc_out[g_big]
-    ratio = group_bytes / (cs * 2 + 4096 + 64)
+    hw, fin, cs, stots0 = enc_out[g_big]
+    ratio = group_bytes / (cs * 2 + 4096 + t4 * 32 + 64)
     log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
         f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
 
@@ -104,14 +106,15 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
             jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
             jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
             jnp.asarray(hws),
+            jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
         )
-        outw, err = rans_decode(*args, t4, hrows)
+        outw, err = rans_decode_v2(*args, t4, hrows)
         if G == g_small:
             e = np.asarray(err)
             assert not e.any(), "decode error flags set"
             ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
             assert ob == p["data"], "decode mismatch"
-        dt[G] = _time(lambda a=args: rans_decode(*a, t4, hrows)[1],
+        dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows)[1],
                       lambda x: np.asarray(x))
     dec_gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
     log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s  "

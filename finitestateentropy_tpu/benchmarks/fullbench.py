@@ -107,7 +107,7 @@ def _turbo_stages():
     srcw = jnp.asarray(np.broadcast_to(
         pad.view("<u4").view(np.int32).reshape(t4 * 8, 128), (G, t4 * 8, 128)).copy())
 
-    stream, fin, csize = rans_encode(fcb, mgb, srcw, t4, hcap)
+    stream, fin, csize, _stots = rans_encode(fcb, mgb, srcw, t4, hcap)
     cs = int(np.asarray(csize)[0])
     hrows = _round8((cs + 127) // 128 + 16)
     hw = np.asarray(stream)[0].reshape(-1)[:cs]

@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-H", "--help", action="help")
     p.add_argument("-T", "--turbo", action="store_true",
                    help="TPU-native TurboRANS frame format (lane-interleaved)")
+    p.add_argument("--ratio", action="store_true",
+                   help="turbo ratio mode (omit the v2 speed section)")
     p.add_argument("-G", dest="group", type=str, default="1M",
                    help="turbo group size (K/M suffix)")
     p.add_argument("--device", choices=["host", "tpu", "turbo"], default="host")
@@ -158,7 +160,8 @@ def _turbo_main(args, verbosity: int) -> int:
     else:
         kw = {"table_log": args.table_log} if args.table_log else {}
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
-                                     interpret=interpret, **kw)
+                                     interpret=interpret,
+                                     steptots=not args.ratio, **kw)
         dst = args.output or args.input + TURBO_EXTENSION
         open(dst, "wb").write(blob)
         if verbosity >= 2:

@@ -14,10 +14,10 @@ from ..refimpl.hist import hist_count
 from ..refimpl.ncount import fse_write_ncount
 from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
-from .rans import (FLAG_RAW, FLAG_RLE, RANS_MAGIC, RANS_TABLELOG, _HDR,
-                   parse_rans_group)
+from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, RANS_MAGIC,
+                   RANS_TABLELOG, _HDR, parse_rans_group)
 from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
-                           rans_encode)
+                           rans_decode_v2, rans_encode)
 
 DEFAULT_GROUP = 1 << 20
 
@@ -61,8 +61,12 @@ def prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
 
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
-                          table_log: int = RANS_TABLELOG) -> bytes:
-    """Compress with the TurboRANS Pallas encode kernel."""
+                          table_log: int = RANS_TABLELOG,
+                          steptots: bool = True) -> bytes:
+    """Compress with the TurboRANS Pallas encode kernel.
+
+    steptots=True (speed mode) ships per-step renorm counts (+~0.8% of the
+    RAW size) enabling the faster v2 decode kernel; False = best ratio."""
     import jax.numpy as jnp
 
     if len(data) == 0:
@@ -96,20 +100,28 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             pad = np.full(n_pad, mfs, np.uint8)
             pad[: len(ch)] = ch
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
-        stream, fin, csize = rans_encode(
+        stream, fin, csize, stots = rans_encode(
             jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
             interpret, False, table_log)
         stream = np.asarray(stream)
         fin = np.asarray(fin)
         csize = np.asarray(csize)
+        stots_np = np.asarray(stots).astype(np.uint8)
         for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
             hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+            if steptots:
+                sect = stots_np[j].reshape(-1).tobytes()
+                sect += b"\0" * (-len(sect) % 4)
+                fl = FLAG_STEPTOTS
+            else:
+                sect, fl = b"", 0
             blob = (
                 _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), table_log,
-                          0, len(ncount))
+                          fl, len(ncount))
                 + ncount_pad
                 + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + sect
                 + hw.astype("<u2").tobytes()
             )
             if len(blob) >= len(ch) + _HDR.size:
@@ -134,7 +146,7 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
     pieces: list[bytes | None] = [None] * len(groups)
     batches: dict[tuple[int, int], list[int]] = {}
     for i, g in enumerate(groups):
-        n, csize_hw, tlog, flags, norm, max_sv, init, payload = g
+        n, csize_hw, tlog, flags, norm, max_sv, init, payload, steptots = g
         if flags & FLAG_RAW:
             pieces[i] = bytes(payload)
         elif flags & FLAG_RLE:
@@ -149,20 +161,33 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
         hrows = _round8(
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
         tch = max((1 << tlog) // 128, 1)
+        T = n_pad // TURBO_LANES
         tbl = np.zeros((G, tch, 128), np.int32)
         init = np.zeros((G, 8, 128), np.int32)
         hws = np.zeros((G, hrows, 128), np.int32)
         cs = np.zeros(G, np.int32)
+        tots = np.zeros((G, T, 8), np.int32)
+        have_tots = True
         for j, i in enumerate(idxs):
-            n, csize_hw, _tl, flags, norm, max_sv, ini, payload = groups[i]
+            n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
             tbl[j] = pack_rans_dtable(norm, tlog)
             init[j] = ini.view(np.int32).reshape(8, 128)
             hw = np.frombuffer(payload, "<u2").astype(np.int32)
             hws[j].reshape(-1)[: len(hw)] = hw
             cs[j] = csize_hw
-        outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
-                                jnp.asarray(init), jnp.asarray(hws),
-                                t4, hrows, interpret, False, tlog)
+            if stots is None:
+                have_tots = False
+            else:
+                tots[j] = stots
+        if have_tots:
+            outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
+                                       jnp.asarray(init), jnp.asarray(hws),
+                                       jnp.asarray(tots), t4, hrows,
+                                       interpret, tlog)
+        else:  # v1 groups: rank computed in-kernel
+            outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
+                                    jnp.asarray(init), jnp.asarray(hws),
+                                    t4, hrows, interpret, False, tlog)
         err = np.asarray(err)
         if err.any():
             raise ValueError(f"turbo-rans device decode: corrupt groups {np.nonzero(err)[0]}")
@@ -213,7 +238,7 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
         pad = np.full(n_pad, mfs, np.uint16)
         pad[:n] = chunk
         srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
-        stream, fin, csize = rans_encode(
+        stream, fin, csize, _stots = rans_encode(
             jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
             t2, hcap, interpret, True)
         cs = int(np.asarray(csize)[0])

@@ -49,6 +49,7 @@ RANS_TABLELOG = 11
 RANS_L = 1 << 16
 FLAG_RAW = 1
 FLAG_RLE = 2
+FLAG_STEPTOTS = 4   # v2: per-step per-row renorm counts section present
 
 _HDR = struct.Struct("<IIIBBH")
 
@@ -71,7 +72,8 @@ def rans_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
     return e.astype(np.int64).astype(np.uint32).view(np.int32)
 
 
-def rans_compress(data: bytes, table_log: int = RANS_TABLELOG) -> bytes:
+def rans_compress(data: bytes, table_log: int = RANS_TABLELOG,
+                  steptots: bool = True) -> bytes:
     n = len(data)
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
@@ -98,12 +100,14 @@ def rans_compress(data: bytes, table_log: int = RANS_TABLELOG) -> bytes:
 
     x = np.full(TURBO_LANES, RANS_L, dtype=np.uint64)
     chunks: list[np.ndarray] = []
+    tots = np.zeros((T, 8), dtype=np.uint8)       # v2 section (decode order)
     thresh_shift = 32 - table_log
     for t in range(T - 1, -1, -1):
         s = syms[t].astype(np.int64)
         f = fr[s].astype(np.uint64)
         c = cu[s].astype(np.uint64)
         flag = x >= (f << np.uint64(thresh_shift))
+        tots[t] = flag.reshape(8, 128).sum(axis=1).astype(np.uint8)
         if flag.any():
             vals = (x[flag] & np.uint64(0xFFFF)).astype(np.uint16)
             # decode reads rank-1 lane at the highest position: positions
@@ -121,9 +125,16 @@ def rans_compress(data: bytes, table_log: int = RANS_TABLELOG) -> bytes:
 
     ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
     init = x.astype("<u4").tobytes()
+    if steptots:
+        sect = tots.reshape(-1).tobytes()
+        sect += b"\0" * (-len(sect) % 4)
+        flags_out = FLAG_STEPTOTS
+    else:
+        sect = b""
+        flags_out = 0
     out = (
-        _HDR.pack(RANS_MAGIC, n, csize_hw, table_log, 0, len(ncount))
-        + ncount_pad + init + stream.astype("<u2").tobytes()
+        _HDR.pack(RANS_MAGIC, n, csize_hw, table_log, flags_out, len(ncount))
+        + ncount_pad + init + sect + stream.astype("<u2").tobytes()
     )
     if len(out) >= n + _HDR.size:
         return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RAW, 0) + data
@@ -137,9 +148,9 @@ def parse_rans_group(blob: bytes):
     pos = _HDR.size
     if flags & FLAG_RAW:
         return (n, csize_hw, table_log, flags, None, 0, None,
-                blob[pos : pos + n]), pos + n
+                blob[pos : pos + n], None), pos + n
     if flags & FLAG_RLE:
-        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 1]), pos + 4
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 1], None), pos + 4
     # the reference reader needs look-ahead slack beyond the NCount bytes
     # (entropy_common.c reads 4-byte words; an exact-size buffer is rejected
     # even by the reference) — the init_states section provides it
@@ -148,15 +159,21 @@ def parse_rans_group(blob: bytes):
     pos += nc_len + (-nc_len % 4)
     init = np.frombuffer(blob[pos : pos + 4 * TURBO_LANES], dtype="<u4").copy()
     pos += 4 * TURBO_LANES
+    steptots = None
+    if flags & FLAG_STEPTOTS:
+        T = _pad_n(n) // TURBO_LANES
+        sect_len = T * 8 + (-(T * 8) % 4)
+        steptots = np.frombuffer(blob[pos : pos + T * 8], np.uint8).reshape(T, 8).copy()
+        pos += sect_len
     payload = blob[pos : pos + 2 * csize_hw]
     pos += 2 * csize_hw
     return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,
-            init, payload), pos
+            init, payload, steptots), pos
 
 
 def rans_decompress(blob: bytes) -> bytes:
-    (n, csize_hw, table_log, flags, norm, max_sv, init, payload), _ = \
-        parse_rans_group(blob)
+    (n, csize_hw, table_log, flags, norm, max_sv, init, payload,
+     steptots), _ = parse_rans_group(blob)
     if flags & FLAG_RAW:
         return bytes(payload)
     if flags & FLAG_RLE:
@@ -179,6 +196,9 @@ def rans_decompress(blob: bytes) -> bytes:
         c = e >> np.uint64(20)
         x = f * (x >> np.uint64(table_log)) + slot - c
         flag = x < np.uint64(RANS_L)
+        if steptots is not None and not np.array_equal(
+                flag.reshape(8, 128).sum(axis=1), steptots[t]):
+            raise ValueError("turbo-rans stream corrupt (steptots)")
         rank = np.cumsum(flag)
         pos = cursor - rank
         v = (hw[np.clip(pos, 0, max(len(hw) - 1, 0))] if len(hw)

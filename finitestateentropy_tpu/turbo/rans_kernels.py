@@ -114,7 +114,8 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
     )
     prefix = (within + rowpre).astype(jnp.int32)
     scr_ref[0:1, 0:1] = (rowpre[7:8] + rowtot[7:8]).astype(jnp.int32)
-    return prefix, scr_ref[0, 0]
+    rowtot_b = jnp.broadcast_to(rowtot, flags.shape).astype(jnp.int32)
+    return prefix, scr_ref[0, 0], rowtot_b
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +237,9 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
     tria = _make_tria()
     tril8 = _make_tril8()
     thresh_shift = 32 - tlog
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    spc = 2 if u16 else 4            # steps per supercycle
+    tiles_span = 128 // spc          # supercycles per steptot tile
 
     def div(x, f, m):
         q = _mulhi32(x, m)
@@ -250,7 +254,7 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
 
     n_sym_chunks = 8 if u16 else 2
 
-    def step(x, cursor, word, p):
+    def step(x, cursor, tile, t, word, p):
         if u16:
             sym = _srl(word, 16 * p) & 0xFFFF
         else:
@@ -274,7 +278,9 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         q, r = div(x, f, m)
         x = _sll(q, tlog) + c + r
 
-        rank, total = _flag_prefix(flag.astype(jnp.int32), tria, tril8, scr_ref, shape)
+        rank, total, rowtot_b = _flag_prefix(flag.astype(jnp.int32), tria,
+                                             tril8, scr_ref, shape)
+        tile = jnp.where(lanes8 == (t & 127), rowtot_b, tile)
 
         # pull: output halfword at absolute position pos in [cursor,
         # cursor+total) holds the lane with rank = cursor + total - pos.
@@ -302,24 +308,30 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         base_row = jnp.clip(_srl(cursor, 7), 0, hrows_cap - 16)
         pull_pass(base_row)
         pull_pass(base_row + 8)
-        return x, cursor + total
+        return x, cursor + total, tile
 
     def body(i, carry):
-        x, cursor = carry
+        x, cursor, tile = carry
         t4 = t4_count - 1 - i
+        # entering a new steptot tile region (descending t4): reset
+        tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
+                         jnp.zeros(shape, jnp.int32), tile)
         word = src_ref[pl.ds(t4 * 8, 8), :]
         if u16:
-            x, cursor = step(x, cursor, word, 1)
-            x, cursor = step(x, cursor, word, 0)
+            x, cursor, tile = step(x, cursor, tile, 2 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 2 * t4, word, 0)
         else:
-            x, cursor = step(x, cursor, word, 3)
-            x, cursor = step(x, cursor, word, 2)
-            x, cursor = step(x, cursor, word, 1)
-            x, cursor = step(x, cursor, word, 0)
-        return x, cursor
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 3, word, 3)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
+        # unconditional flush: the last (smallest-t4) write per region wins
+        out_ref[pl.ds(hrows_cap + 16 + (t4 // tiles_span) * 8, 8), :] = tile
+        return x, cursor, tile
 
     x0 = jnp.full(shape, RANS_L, jnp.int32)
-    x, cursor = jax.lax.fori_loop(0, t4_count, body, (x0, jnp.int32(0)))
+    x, cursor, _ = jax.lax.fori_loop(
+        0, t4_count, body, (x0, jnp.int32(0), jnp.zeros(shape, jnp.int32)))
     out_ref[pl.ds(hrows_cap, 8), :] = x
     out_ref[pl.ds(hrows_cap + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
@@ -335,7 +347,10 @@ def rans_encode(fc_tables, magic_tables, src_words,
     [G,8,128] i32, csize_hw[G] i32)."""
     G = fc_tables.shape[0]
     nch = fc_tables.shape[1]
-    rows = hrows_cap + 16
+    spc = 2 if u16 else 4
+    T = t4_count * spc
+    sect_rows = ((t4_count + (128 // spc) - 1) // (128 // spc)) * 8
+    rows = hrows_cap + 16 + sect_rows
     kern = functools.partial(_rans_encode_kernel, t4_count=t4_count,
                              hrows_cap=hrows_cap, u16=u16, tlog=tlog)
     out = pl.pallas_call(
@@ -352,8 +367,14 @@ def rans_encode(fc_tables, magic_tables, src_words,
         interpret=interpret,
     )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
     out = out.reshape(G, rows, 128)
+    sect = out[:, hrows_cap + 16 :, :]                  # [G, tiles*8, 128]
+    steptots = (
+        sect.reshape(G, sect_rows // 8, 8, 128)
+        .transpose(0, 1, 3, 2)
+        .reshape(G, (sect_rows // 8) * 128, 8)[:, :T, :]
+    )
     return (out[:, :hrows_cap, :], out[:, hrows_cap : hrows_cap + 8, :],
-            out[:, hrows_cap + 8, 0])
+            out[:, hrows_cap + 8, 0], steptots)
 
 
 # ---------------------------------------------------------------------------
@@ -404,3 +425,142 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
     fc = ((c << 12) | f).astype(np.int32)
     magic = np.minimum(2**32 // f, 0xFFFFFFFF).astype(np.uint32).view(np.int32)
     return fc.reshape(8, 128), magic.reshape(8, 128)
+
+
+# ---------------------------------------------------------------------------
+# Decode v2: per-step renorm counts shipped in the stream (FLAG_STEPTOTS)
+# move the rank row-offsets and the cursor chain OFF the serial path — they
+# are precomputed vectorized in XLA and read as independent VMEM scalars.
+# The ablation (PERFORMANCE.md) shows the in-loop prefix costs ~280 of
+# ~400 ns/step; this removes ~130 ns of it.
+# ---------------------------------------------------------------------------
+
+
+def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
+                           out_ref, *, t4_count, hrows, u16=False,
+                           tlog=RANS_TABLELOG):
+    shape = (8, 128)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    tsize = 1 << tlog
+    tchunks = max(tsize // 128, 1)
+    # rank via ONE matmul: [flags | roff_hi | roff_lo] @ [TRIA ; 16s ; 1s]
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    tria128 = (c_i >= r_i).astype(jnp.bfloat16)
+    rhs = jnp.concatenate(
+        [tria128, jnp.full((128, 128), 16, jnp.bfloat16),
+         jnp.ones((128, 128), jnp.bfloat16)], axis=0)      # [384,128]
+
+    def step(x, t):
+        slot = x & (tsize - 1)
+        thi = _srl(slot, 7)
+        tlo = slot & 127
+        e = jnp.zeros(shape, jnp.int32)
+        for h in range(tchunks):
+            trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
+            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
+        if u16:
+            sym = e & 0x3FF
+            f = _srl(e, 10) & 0x7FF
+            c = _srl(e, 21)
+        else:
+            sym = e & 0xFF
+            f = _srl(e, 8) & 0xFFF
+            c = _srl(e, 20)
+        x = f * _srl(x, tlog) + slot - c
+        flag = _srl(x, 16) == 0
+
+        # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127
+        # (the encoder's section layout); hi/lo split keeps bf16 exact
+        rtile = roff_ref[pl.ds(_srl(t, 7) * 8, 8), :]
+        hit = lanes == (t & 127)
+        m_hi = jnp.where(hit, _srl(rtile, 4), 0).astype(jnp.bfloat16)
+        m_lo = jnp.where(hit, rtile & 15, 0).astype(jnp.bfloat16)
+        lhs = jnp.concatenate(
+            [flag.astype(jnp.int32).astype(jnp.bfloat16), m_hi, m_lo], axis=1)
+        rank = jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        cursor = cur_ref[t, 0]
+
+        pos = cursor - rank
+        base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16)
+        rel = jnp.clip(pos - base_row * 128, 0, 2047)
+        hi = _srl(rel, 7)
+        lo = rel & 127
+        v = jnp.zeros(shape, jnp.int32)
+        for h in range(9):
+            row = jnp.broadcast_to(stream_ref[pl.ds(base_row + h, 1), :], shape)
+            v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
+        return sym, jnp.where(flag, _sll(x, 16) | v, x)
+
+    def body(t4, x):
+        if u16:
+            s0, x = step(x, 2 * t4)
+            s1, x = step(x, 2 * t4 + 1)
+            tile = s0 | _sll(s1, 16)
+        else:
+            s0, x = step(x, 4 * t4)
+            s1, x = step(x, 4 * t4 + 1)
+            s2, x = step(x, 4 * t4 + 2)
+            s3, x = step(x, 4 * t4 + 3)
+            tile = s0 | _sll(s1, 8) | _sll(s2, 16) | _sll(s3, 24)
+        out_ref[pl.ds(t4 * 8, 8), :] = tile
+        return x
+
+    x = jax.lax.fori_loop(0, t4_count, body, init_ref[0])
+    out_ref[pl.ds(t4_count * 8, 8), :] = x ^ RANS_L
+
+
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
+                   t4_count: int, hrows: int, interpret: bool = False,
+                   tlog: int = RANS_TABLELOG):
+    """v2 decode: steptots[G, T, 8] i32 = shipped per-step renorm counts.
+
+    Returns (out[G, t4_count*8, 128] i32, err[G] i32 with 0 = ok); err
+    covers both corrupt chains (final states != L) and inconsistent
+    steptots (total != csize)."""
+    G = tables.shape[0]
+    T = steptots.shape[1]
+    rows = t4_count * 8 + 8
+    tch = tables.shape[1]
+
+    totals = jnp.sum(steptots, axis=2)                               # [G,T]
+    cursors = csize_hw[:, None] - (jnp.cumsum(totals, axis=1) - totals)
+    rowoff = jnp.cumsum(steptots, axis=2) - steptots                 # [G,T,8]
+    bad = (cursors[:, -1] - totals[:, -1]) != 0
+
+    # rowoff tiles: value (t, r) at row (t//128)*8 + r, lane t % 128
+    tpad = ((T + 127) // 128) * 128
+    ro = jnp.pad(rowoff, ((0, 0), (0, tpad - T), (0, 0)))            # [G,tp,8]
+    roff = (ro.reshape(G, tpad // 128, 128, 8)
+            .transpose(0, 1, 3, 2)
+            .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
+    # cursors: column-0 array (traced row, static lane scalar reads)
+    cpad = ((T + 7) // 8) * 8
+    curs = jnp.zeros((G, cpad, 128), jnp.int32).at[:, :T, 0].set(
+        cursors.astype(jnp.int32))
+    r8 = roff.shape[1]
+    rc = curs.shape[1]
+
+    kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
+                             hrows=hrows, tlog=tlog)
+    out = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32),
+        interpret=interpret,
+    )(tables, init_states, streams.reshape(G * hrows, 128),
+      roff.reshape(G * r8, 128), curs.reshape(G * rc, 128))
+    out = out.reshape(G, rows, 128)
+    err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))
+    return out[:, : t4_count * 8, :], err + bad.astype(jnp.int32)

@@ -26,6 +26,7 @@ constexpr uint32_t kL = 1u << 16;    // rANS lower bound
 constexpr int kMinTableLog = 5;
 constexpr int kFlagRaw = 1;
 constexpr int kFlagRle = 2;
+constexpr int kFlagStepTots = 4;  // v2: shipped per-step renorm counts
 
 inline int highbit32(uint32_t v) {
   return 31 - __builtin_clz(v);
@@ -502,6 +503,16 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap) return -3;
   const uint32_t* init = reinterpret_cast<const uint32_t*>(blob + pos);
   pos += 4 * kLanes;
+  if (h.flags & kFlagStepTots) {
+    // v2 section is redundant for this decoder (ranks are recomputed);
+    // skip it
+    uint64_t n_pad2 = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
+    uint64_t sect = (n_pad2 / kLanes) * 8;
+    sect += (4 - (sect & 3)) & 3;
+    if (pos + sect > len) return -3;
+    pos += sect;
+  }
+  if (pos + 2 * h.csize_hw > len) return -3;
   const uint16_t* hw = reinterpret_cast<const uint16_t*>(blob + pos);
   pos += 2 * h.csize_hw;
 

@@ -12,8 +12,11 @@ pytestmark = pytest.mark.skipif(not native.available(),
 
 def test_native_matches_twin_bytes():
     data = generate_proba(80)[:300000]
+    # the native encoder emits ratio-mode (v1) groups
     assert native.rans_compress_native(data, group_size=len(data)) == \
-        rans_compress(data)
+        rans_compress(data, steptots=False)
+    # and decodes speed-mode (v2) groups by skipping the section
+    assert native.rans_decompress_native(rans_compress(data)) == data
 
 
 def test_native_roundtrip_and_cross():
@@ -49,7 +52,8 @@ def test_native_multigroup_cross_with_twin():
     blob_n = native.rans_compress_native(data, group_size=65536)
     # twin group-by-group must produce the identical stream
     twin = b"".join(
-        rans_compress(data[i : i + 65536]) for i in range(0, len(data), 65536)
+        rans_compress(data[i : i + 65536], steptots=False)
+        for i in range(0, len(data), 65536)
     )
     assert blob_n == twin
 

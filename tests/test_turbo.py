@@ -101,12 +101,15 @@ def test_rans_ratio_parity():
     from finitestateentropy_tpu.turbo.rans import rans_compress
 
     data = generate_proba(80)
-    blob = rans_compress(data)
+    blob = rans_compress(data, steptots=False)   # ratio mode
     ref = sum(
         len(fse_compress(data[i : i + 32768]).data)
         for i in range(0, len(data), 32768)
     )
     assert len(blob) <= ref * 1.03  # 16-bit renorm + 4KB states per group
+    # speed mode ships ~0.8% of raw as per-step counts
+    blob2 = rans_compress(data, steptots=True)
+    assert len(blob2) <= ref * 1.03 + len(data) * 0.01
 
 
 def test_rans_device_kernels_match_twin_interpret():
@@ -174,7 +177,7 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     pad[:n] = d
     srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
 
-    stream, fin, csize = rans_encode(
+    stream, fin, csize, _stots = rans_encode(
         jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
         t2, hcap, True, True)
     cs = int(np.asarray(csize)[0])

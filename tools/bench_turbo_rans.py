@@ -36,14 +36,14 @@ print(f"groups: {G} x {GROUP} = {total>>20} MiB, proba{PNAME}")
 
 # ---- encode
 t0 = time.perf_counter()
-stream, fin, csize = rans_encode(fcb, mgb, srcw, t4, hcap)
+stream, fin, csize, _st = rans_encode(fcb, mgb, srcw, t4, hcap)
 cs = np.asarray(csize)
 print(f"encode compile+first: {time.perf_counter()-t0:.1f}s, csize_hw[0]={cs[0]}, ratio {GROUP/(cs[0]*2):.2f}")
 
 ts = []
 for _ in range(4):
     t0 = time.perf_counter()
-    stream, fin, csize = rans_encode(fcb, mgb, srcw, t4, hcap)
+    stream, fin, csize, _st = rans_encode(fcb, mgb, srcw, t4, hcap)
     np.asarray(csize)
     ts.append(time.perf_counter() - t0)
 enc = min(ts)
@@ -51,7 +51,7 @@ print(f"encode: {total/enc/1e9:.3f} GB/s ({enc*1e3:.1f} ms)  per-step {enc/(G*t4
 
 # ---- verify encode vs twin
 twin = rans_compress(data)
-(tn, tcs, ttl, tfl, tnorm, tmsv, tinit, tpay), _ = parse_rans_group(twin)
+(tn, tcs, ttl, tfl, tnorm, tmsv, tinit, tpay, _tst), _ = parse_rans_group(twin)
 got_hw = np.asarray(stream)[0].reshape(-1)[: int(cs[0])].astype(np.uint16)
 want_hw = np.frombuffer(tpay, "<u2")
 print("encode matches twin:", int(cs[0]) == tcs and np.array_equal(got_hw, want_hw),

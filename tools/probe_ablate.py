@@ -27,8 +27,9 @@ def make_kernel(variant, t4_count, hrows):
         cursor0 = csize_ref[g]
         tria = _make_tria()
         lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        rows8i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
-        def step(x, cursor):
+        def step(x, cursor, t=0):
             slot = x & (TSIZE - 1)
             if variant == "nolookup":
                 e = slot * 1103 + 7
@@ -46,6 +47,20 @@ def make_kernel(variant, t4_count, hrows):
             flag = _srl(x, 16) == 0
             if variant == "noprefix":
                 rank, total = lanes + 1, scr_ref[0, 0] * 0 + 64
+            elif variant == "v2prefix":
+                aug = jax.lax.dot_general(
+                    flag.astype(jnp.int32).astype(jnp.bfloat16), tria,
+                    (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+                within = aug[:, :128].astype(jnp.int32)
+                # precomputed row offsets: SMEM scalar-prefetch stand-ins
+                # (no store->load hazard; loads independent of flags)
+                rowoff = jnp.zeros(shape, jnp.int32)
+                for r in range(1, 8):
+                    rowoff = jnp.where(rows8i == r,
+                                       csize_ref[((t * 8 + r) & 31) + 1] & 1023,
+                                       rowoff)
+                rank = within + rowoff
+                total = (csize_ref[(t & 31) + 1] & 0) + 64
             elif variant == "lanepfx":
                 f32 = flag.astype(jnp.int32)
                 acc = f32
@@ -95,10 +110,10 @@ def make_kernel(variant, t4_count, hrows):
 
         def body(t4, carry):
             x, cursor = carry
-            s0, x, cursor = step(x, cursor)
-            s1, x, cursor = step(x, cursor)
-            s2, x, cursor = step(x, cursor)
-            s3, x, cursor = step(x, cursor)
+            s0, x, cursor = step(x, cursor, 4 * t4)
+            s1, x, cursor = step(x, cursor, 4 * t4 + 1)
+            s2, x, cursor = step(x, cursor, 4 * t4 + 2)
+            s3, x, cursor = step(x, cursor, 4 * t4 + 3)
             out_ref[pl.ds(t4 * 8, 8), :] = s0 | _sll(s1, 8) | _sll(s2, 16) | _sll(s3, 24)
             return x, cursor
 
@@ -126,7 +141,7 @@ def run(variant, G, t4, hrows):
         pl.pallas_call, kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32))())
     rng = np.random.default_rng(0)
-    cs = jnp.asarray(np.full(G, hrows * 100, np.int32))
+    cs = jnp.asarray(np.full(max(G, 64), hrows * 100, np.int32))
     tbl = jnp.asarray(rng.integers(0, 2**31, (G, 16, 128)).astype(np.int32))
     init = jnp.asarray(rng.integers(2**16, 2**31, (G, 8, 128)).astype(np.int32))
     hws = jnp.asarray(rng.integers(0, 2**15, (G * hrows, 128)).astype(np.int32))
@@ -141,7 +156,7 @@ def run(variant, G, t4, hrows):
 
 
 t4, hrows = 256, 1024
-for variant in ("full", "lanepfx"):
+for variant in ("full", "v2prefix"):
     t32 = run(variant, 32, t4, hrows)
     t160 = run(variant, 160, t4, hrows)
     per_step = (t160 - t32) / (128 * t4 * 4)

@@ -33,7 +33,7 @@ pad = np.full(n_pad, mfs, np.uint8); pad[:GROUP] = src
 srcw1 = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
 
 # produce a stream once
-stream, fin, csize = rans_encode(jnp.asarray(fc[None]), jnp.asarray(mg[None]),
+stream, fin, csize, _st = rans_encode(jnp.asarray(fc[None]), jnp.asarray(mg[None]),
                                  jnp.asarray(srcw1[None]), t4, hcap)
 cs = int(np.asarray(csize)[0])
 hw = np.asarray(stream)[0].reshape(-1)[:cs]
