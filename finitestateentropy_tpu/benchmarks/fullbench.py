@@ -11,8 +11,9 @@
 
 TPU turbo stages (ours, numbered 100+ like fullbench's experimental range):
 
-  100 turbo-rans encode kernel (GB/s)   102 rans table pack (host)
-  101 turbo-rans decode kernel (GB/s)   103 group prep (hist+norm+ncount)
+  100 turbo-rans encode kernel          102 rans table pack (host)
+  101 turbo-rans decode kernel (v1)     103 group prep (hist+norm+ncount)
+  104 turbo-rans decode kernel (v2, the default path)
 
 Usage: python -m finitestateentropy_tpu.benchmarks.fullbench [stage ...]
 """
@@ -88,7 +89,7 @@ def _turbo_stages():
     from ..turbo.api import _hrows_cap, _prep_group, _round8
     from ..turbo.format import TURBO_STEP_SYMS, _pad_n
     from ..turbo.rans_kernels import (pack_rans_ctables, pack_rans_dtable,
-                                      rans_decode, rans_encode)
+                                      rans_decode, rans_decode_v2, rans_encode)
 
     gsz = 1 << 20
     base = generate_proba(P_DEFAULT)
@@ -118,6 +119,9 @@ def _turbo_stages():
              jnp.asarray(np.broadcast_to(np.asarray(fin)[0], (G, 8, 128)).copy()),
              jnp.asarray(hws))
     rans_decode(*dargs, t4, hrows)
+    st0 = np.asarray(_stots)[0]
+    dargs2 = dargs + (jnp.asarray(np.broadcast_to(st0, (G,) + st0.shape).copy()),)
+    rans_decode_v2(*dargs2, t4, hrows)
 
     total = G * gsz
     return {
@@ -127,6 +131,8 @@ def _turbo_stages():
               lambda: np.asarray(rans_decode(*dargs, t4, hrows)[1]), total),
         102: ("rans table pack (host)", lambda: pack_rans_dtable(norm), gsz),
         103: ("group prep (hist+norm+ncount)", lambda: _prep_group(src), gsz),
+        104: ("turbo_rans_decode (kernel, v2)",
+              lambda: np.asarray(rans_decode_v2(*dargs2, t4, hrows)[1]), total),
     }
 
 

@@ -141,6 +141,9 @@ def _turbo_main(args, verbosity: int) -> int:
         from . import native
 
         if native.available():
+            if not args.ratio and not (args.decode or args.test) and verbosity >= 2:
+                print("note: native host path emits ratio-mode (v1) frames",
+                      file=sys.stderr)
             return _turbo_native_main(args, verbosity)
 
     from .turbo.api import turbo_compress_device, turbo_decompress_device

@@ -1,8 +1,9 @@
 """ctypes bindings for the native TurboRANS host codec (native/turbofse.cc).
 
-The native path is the CLI/frame host fallback (no TPU attached) and the
-fast oracle for the device kernels; it produces byte-identical group blobs
-to the numpy twin and the Pallas encoder.  Builds on demand with the system
+The native path is the CLI/frame host fallback (no TPU attached) and a fast
+oracle for the device kernels: its encoder emits ratio-mode (v1) groups
+byte-identical to `rans_compress(..., steptots=False)`, and its decoder
+reads both v1 and v2 (speed-mode) frames.  Builds on demand with the system
 compiler; `available()` reports whether the library could be loaded.
 """
 from __future__ import annotations

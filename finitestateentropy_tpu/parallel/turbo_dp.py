@@ -29,8 +29,9 @@ def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
     (stream, final_states, csize_hw sharded; total_hw replicated)."""
 
     def local(fc, mg, srcw):
-        stream, fin, csize, _stots = rans_encode(fc, mg, srcw, t4_count,
-                                                 hrows_cap, interpret)
+        stream, fin, csize, _ = rans_encode(fc, mg, srcw, t4_count,
+                                            hrows_cap, interpret,
+                                            False, 11, False)
         total = jax.lax.psum(jnp.sum(csize), "dp")
         return stream, fin, csize, total
 
@@ -64,8 +65,9 @@ def sharded_turbo_roundtrip(mesh: Mesh, t4_count: int, hrows_cap: int,
     dry-run payload): returns (ok replicated, total_hw replicated)."""
 
     def local(fc, mg, srcw, dtbl):
-        stream, fin, csize, _stots = rans_encode(fc, mg, srcw, t4_count,
-                                                 hrows_cap, interpret)
+        stream, fin, csize, _ = rans_encode(fc, mg, srcw, t4_count,
+                                            hrows_cap, interpret,
+                                            False, 11, False)
         out, err = rans_decode(csize, dtbl, fin, stream, t4_count, hrows_cap,
                                interpret)
         ok = jnp.all(out == srcw) & jnp.all(err == 0)

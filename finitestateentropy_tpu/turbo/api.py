@@ -102,17 +102,16 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
         stream, fin, csize, stots = rans_encode(
             jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
-            interpret, False, table_log)
+            interpret, False, table_log, steptots)
         stream = np.asarray(stream)
         fin = np.asarray(fin)
         csize = np.asarray(csize)
-        stots_np = np.asarray(stots).astype(np.uint8)
+        stots_np = np.asarray(stots).astype(np.uint8) if steptots else None
         for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
             hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
             if steptots:
-                sect = stots_np[j].reshape(-1).tobytes()
-                sect += b"\0" * (-len(sect) % 4)
+                sect = stots_np[j].reshape(-1).tobytes()  # 4B-aligned (T%4==0)
                 fl = FLAG_STEPTOTS
             else:
                 sect, fl = b"", 0
@@ -238,9 +237,9 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
         pad = np.full(n_pad, mfs, np.uint16)
         pad[:n] = chunk
         srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
-        stream, fin, csize, _stots = rans_encode(
+        stream, fin, csize, _ = rans_encode(
             jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
-            t2, hcap, interpret, True)
+            t2, hcap, interpret, True, RANS_TABLELOG, False)
         cs = int(np.asarray(csize)[0])
         hw = np.asarray(stream)[0].reshape(-1)[:cs].astype(np.uint16)
         ncount_pad = ncount + b"\0" * (-len(ncount) % 4)

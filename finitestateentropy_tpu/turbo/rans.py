@@ -126,8 +126,8 @@ def rans_compress(data: bytes, table_log: int = RANS_TABLELOG,
     ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
     init = x.astype("<u4").tobytes()
     if steptots:
+        # T is a multiple of 4 (n_pad % 4096 == 0), so T*8 is 4B-aligned
         sect = tots.reshape(-1).tobytes()
-        sect += b"\0" * (-len(sect) % 4)
         flags_out = FLAG_STEPTOTS
     else:
         sect = b""
@@ -162,9 +162,8 @@ def parse_rans_group(blob: bytes):
     steptots = None
     if flags & FLAG_STEPTOTS:
         T = _pad_n(n) // TURBO_LANES
-        sect_len = T * 8 + (-(T * 8) % 4)
         steptots = np.frombuffer(blob[pos : pos + T * 8], np.uint8).reshape(T, 8).copy()
-        pos += sect_len
+        pos += T * 8
     payload = blob[pos : pos + 2 * csize_hw]
     pos += 2 * csize_hw
     return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,

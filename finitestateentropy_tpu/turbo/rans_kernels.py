@@ -232,7 +232,7 @@ def rans_decode(csize_hw, tables, init_states, streams,
 
 def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
                         *, t4_count, hrows_cap, u16=False,
-                        tlog=RANS_TABLELOG):
+                        tlog=RANS_TABLELOG, steptots=True):
     shape = (8, 128)
     tria = _make_tria()
     tril8 = _make_tril8()
@@ -280,7 +280,8 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
 
         rank, total, rowtot_b = _flag_prefix(flag.astype(jnp.int32), tria,
                                              tril8, scr_ref, shape)
-        tile = jnp.where(lanes8 == (t & 127), rowtot_b, tile)
+        if steptots:
+            tile = jnp.where(lanes8 == (t & 127), rowtot_b, tile)
 
         # pull: output halfword at absolute position pos in [cursor,
         # cursor+total) holds the lane with rank = cursor + total - pos.
@@ -325,8 +326,9 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
             x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
             x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
             x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
-        # unconditional flush: the last (smallest-t4) write per region wins
-        out_ref[pl.ds(hrows_cap + 16 + (t4 // tiles_span) * 8, 8), :] = tile
+        if steptots:
+            # unconditional flush: the last (smallest-t4) write per region wins
+            out_ref[pl.ds(hrows_cap + 16 + (t4 // tiles_span) * 8, 8), :] = tile
         return x, cursor, tile
 
     x0 = jnp.full(shape, RANS_L, jnp.int32)
@@ -336,10 +338,11 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
     out_ref[pl.ds(hrows_cap + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
 def rans_encode(fc_tables, magic_tables, src_words,
                 t4_count: int, hrows_cap: int, interpret: bool = False,
-                u16: bool = False, tlog: int = RANS_TABLELOG):
+                u16: bool = False, tlog: int = RANS_TABLELOG,
+                steptots: bool = True):
     """fc_tables[G,nch,128] i32 ((cumul<<12)|freq); magic_tables[G,nch,128]
     i32 (floor(2^32/freq) bits); src_words[G, t4_count*8, 128] i32.
     nch = 2 (byte symbols) or 8 (u16 symbols <= 1023).
@@ -349,10 +352,12 @@ def rans_encode(fc_tables, magic_tables, src_words,
     nch = fc_tables.shape[1]
     spc = 2 if u16 else 4
     T = t4_count * spc
-    sect_rows = ((t4_count + (128 // spc) - 1) // (128 // spc)) * 8
+    sect_rows = (((t4_count + (128 // spc) - 1) // (128 // spc)) * 8
+                 if steptots else 0)
     rows = hrows_cap + 16 + sect_rows
     kern = functools.partial(_rans_encode_kernel, t4_count=t4_count,
-                             hrows_cap=hrows_cap, u16=u16, tlog=tlog)
+                             hrows_cap=hrows_cap, u16=u16, tlog=tlog,
+                             steptots=steptots)
     out = pl.pallas_call(
         kern,
         grid=(G,),
@@ -367,14 +372,17 @@ def rans_encode(fc_tables, magic_tables, src_words,
         interpret=interpret,
     )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
     out = out.reshape(G, rows, 128)
-    sect = out[:, hrows_cap + 16 :, :]                  # [G, tiles*8, 128]
-    steptots = (
-        sect.reshape(G, sect_rows // 8, 8, 128)
-        .transpose(0, 1, 3, 2)
-        .reshape(G, (sect_rows // 8) * 128, 8)[:, :T, :]
-    )
+    if steptots:
+        sect = out[:, hrows_cap + 16 :, :]              # [G, tiles*8, 128]
+        stots = (
+            sect.reshape(G, sect_rows // 8, 8, 128)
+            .transpose(0, 1, 3, 2)
+            .reshape(G, (sect_rows // 8) * 128, 8)[:, :T, :]
+        )
+    else:
+        stots = None
     return (out[:, :hrows_cap, :], out[:, hrows_cap : hrows_cap + 8, :],
-            out[:, hrows_cap + 8, 0], steptots)
+            out[:, hrows_cap + 8, 0], stots)
 
 
 # ---------------------------------------------------------------------------
@@ -437,7 +445,7 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
-                           out_ref, *, t4_count, hrows, u16=False,
+                           out_ref, *, t4_count, hrows,
                            tlog=RANS_TABLELOG):
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -459,14 +467,9 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         for h in range(tchunks):
             trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
             e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        if u16:
-            sym = e & 0x3FF
-            f = _srl(e, 10) & 0x7FF
-            c = _srl(e, 21)
-        else:
-            sym = e & 0xFF
-            f = _srl(e, 8) & 0xFFF
-            c = _srl(e, 20)
+        sym = e & 0xFF
+        f = _srl(e, 8) & 0xFFF
+        c = _srl(e, 20)
         x = f * _srl(x, tlog) + slot - c
         flag = _srl(x, 16) == 0
 
@@ -495,17 +498,12 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         return sym, jnp.where(flag, _sll(x, 16) | v, x)
 
     def body(t4, x):
-        if u16:
-            s0, x = step(x, 2 * t4)
-            s1, x = step(x, 2 * t4 + 1)
-            tile = s0 | _sll(s1, 16)
-        else:
-            s0, x = step(x, 4 * t4)
-            s1, x = step(x, 4 * t4 + 1)
-            s2, x = step(x, 4 * t4 + 2)
-            s3, x = step(x, 4 * t4 + 3)
-            tile = s0 | _sll(s1, 8) | _sll(s2, 16) | _sll(s3, 24)
-        out_ref[pl.ds(t4 * 8, 8), :] = tile
+        s0, x = step(x, 4 * t4)
+        s1, x = step(x, 4 * t4 + 1)
+        s2, x = step(x, 4 * t4 + 2)
+        s3, x = step(x, 4 * t4 + 3)
+        out_ref[pl.ds(t4 * 8, 8), :] = (
+            s0 | _sll(s1, 8) | _sll(s2, 16) | _sll(s3, 24))
         return x
 
     x = jax.lax.fori_loop(0, t4_count, body, init_ref[0])

@@ -507,8 +507,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     // v2 section is redundant for this decoder (ranks are recomputed);
     // skip it
     uint64_t n_pad2 = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
-    uint64_t sect = (n_pad2 / kLanes) * 8;
-    sect += (4 - (sect & 3)) & 3;
+    uint64_t sect = (n_pad2 / kLanes) * 8;  // 4B-aligned by construction
     if (pos + sect > len) return -3;
     pos += sect;
   }
