@@ -248,6 +248,9 @@ def main():
     ap.add_argument("--gsmall", type=int, default=32)
     ap.add_argument("--gbig", type=int, default=160)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="headline slope repeats (chip throughput varies "
+                         "run to run; best-of is reported)")
     args = ap.parse_args()
 
     import jax
@@ -255,8 +258,12 @@ def main():
 
     if args.quick:
         args.gsmall, args.gbig = 8, 32
+        args.repeats = 1
 
     dec, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80)
+    for _ in range(args.repeats - 1):
+        d2, e2, _ = bench_rans(args.group, args.gsmall, args.gbig, 80)
+        dec, enc = max(dec, d2), max(enc, e2)
     if not args.quick:
         for pb in (14, 2):
             bench_rans(args.group, args.gsmall // 2, args.gbig // 2, pb)

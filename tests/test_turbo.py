@@ -217,3 +217,31 @@ def test_turbo16_device_api_interpret():
     assert np.array_equal(
         turbo16_decompress_device(turbo16_compress_device(rle, interpret=True),
                                   interpret=True), rle)
+
+
+def test_ratio_mode_device_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+    from finitestateentropy_tpu.turbo.rans import rans_compress
+
+    data = generate_proba(80)[:40960]
+    dev = turbo_compress_device(data, group_size=40960, interpret=True,
+                                steptots=False)
+    assert dev == rans_compress(data, steptots=False)
+    assert turbo_decompress_device(dev, interpret=True) == data
+
+
+def test_corrupt_steptots_detected_interpret():
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+
+    data = generate_proba(80)[:40960]
+    dev = bytearray(turbo_compress_device(data, group_size=40960, interpret=True))
+    # the steptots section sits right after the 4 KB init states; flip a count
+    from finitestateentropy_tpu.turbo.rans import _HDR
+
+    nc_len = int.from_bytes(dev[14:16], "little")
+    sect_off = _HDR.size + (nc_len + (-nc_len % 4)) + 4096
+    dev[sect_off + 5] ^= 0x01
+    with pytest.raises(ValueError):
+        turbo_decompress_device(bytes(dev), interpret=True)
