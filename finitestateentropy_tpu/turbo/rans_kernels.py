@@ -447,6 +447,8 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
                            out_ref, *, t4_count, hrows,
                            tlog=RANS_TABLELOG):
+    """Two groups per kernel instance: the independent chains interleave,
+    hiding each other's lookup/gather/matmul latencies (~1.9x one group)."""
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
@@ -458,24 +460,26 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
     rhs = jnp.concatenate(
         [tria128, jnp.full((128, 128), 16, jnp.bfloat16),
          jnp.ones((128, 128), jnp.bfloat16)], axis=0)      # [384,128]
+    rows_per = t4_count * 8 + 8
+    roff_rows = roff_ref.shape[0] // 2
+    cur_rows = cur_ref.shape[0] // 2
 
-    def step(x, t):
+    def step(x, t, gg):
         slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
         e = jnp.zeros(shape, jnp.int32)
         for h in range(tchunks):
-            trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
+            trow = jnp.broadcast_to(table_ref[gg, h : h + 1, :], shape)
             e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
         sym = e & 0xFF
         f = _srl(e, 8) & 0xFFF
         c = _srl(e, 20)
         x = f * _srl(x, tlog) + slot - c
         flag = _srl(x, 16) == 0
-
-        # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127
-        # (the encoder's section layout); hi/lo split keeps bf16 exact
-        rtile = roff_ref[pl.ds(_srl(t, 7) * 8, 8), :]
+        # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127 (the
+        # encoder's section layout); hi/lo split keeps bf16 exact
+        rtile = roff_ref[pl.ds(gg * roff_rows + _srl(t, 7) * 8, 8), :]
         hit = lanes == (t & 127)
         m_hi = jnp.where(hit, _srl(rtile, 4), 0).astype(jnp.bfloat16)
         m_lo = jnp.where(hit, rtile & 15, 0).astype(jnp.bfloat16)
@@ -484,11 +488,11 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         rank = jax.lax.dot_general(
             lhs, rhs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        cursor = cur_ref[t, 0]
-
+        cursor = cur_ref[gg * cur_rows + t, 0]
         pos = cursor - rank
-        base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16)
-        rel = jnp.clip(pos - base_row * 128, 0, 2047)
+        base_row = jnp.clip(
+            _srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16) + gg * hrows
+        rel = jnp.clip(pos - (base_row - gg * hrows) * 128, 0, 2047)
         hi = _srl(rel, 7)
         lo = rel & 127
         v = jnp.zeros(shape, jnp.int32)
@@ -497,17 +501,23 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
             v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
         return sym, jnp.where(flag, _sll(x, 16) | v, x)
 
-    def body(t4, x):
-        s0, x = step(x, 4 * t4)
-        s1, x = step(x, 4 * t4 + 1)
-        s2, x = step(x, 4 * t4 + 2)
-        s3, x = step(x, 4 * t4 + 3)
+    def body(t4, carry):
+        xa, xb = carry
+        sa, sb = [], []
+        for pp in range(4):
+            s0, xa = step(xa, 4 * t4 + pp, 0)
+            s1, xb = step(xb, 4 * t4 + pp, 1)
+            sa.append(s0)
+            sb.append(s1)
         out_ref[pl.ds(t4 * 8, 8), :] = (
-            s0 | _sll(s1, 8) | _sll(s2, 16) | _sll(s3, 24))
-        return x
+            sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24))
+        out_ref[pl.ds(rows_per + t4 * 8, 8), :] = (
+            sb[0] | _sll(sb[1], 8) | _sll(sb[2], 16) | _sll(sb[3], 24))
+        return xa, xb
 
-    x = jax.lax.fori_loop(0, t4_count, body, init_ref[0])
-    out_ref[pl.ds(t4_count * 8, 8), :] = x ^ RANS_L
+    xa, xb = jax.lax.fori_loop(0, t4_count, body, (init_ref[0], init_ref[1]))
+    out_ref[pl.ds(t4_count * 8, 8), :] = xa ^ RANS_L
+    out_ref[pl.ds(rows_per + t4_count * 8, 8), :] = xb ^ RANS_L
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
@@ -519,9 +529,14 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     Returns (out[G, t4_count*8, 128] i32, err[G] i32 with 0 = ok); err
     covers both corrupt chains (final states != L) and inconsistent
     steptots (total != csize)."""
+    G0 = tables.shape[0]
+    if G0 % 2:  # kernel instances take group pairs; duplicate the last
+        dup = lambda a: jnp.concatenate([a, a[-1:]], axis=0)
+        csize_hw, tables, init_states, streams, steptots = map(
+            dup, (csize_hw, tables, init_states, streams, steptots))
     G = tables.shape[0]
     T = steptots.shape[1]
-    rows = t4_count * 8 + 8
+    rows_per = t4_count * 8 + 8
     tch = tables.shape[1]
 
     totals = jnp.sum(steptots, axis=2)                               # [G,T]
@@ -546,19 +561,21 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                              hrows=hrows, tlog=tlog)
     out = pl.pallas_call(
         kern,
-        grid=(G,),
+        grid=(G // 2,),
         in_specs=[
-            pl.BlockSpec((1, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32),
+        out_specs=pl.BlockSpec((2 * rows_per, 128), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G * rows_per, 128), jnp.int32),
         interpret=interpret,
     )(tables, init_states, streams.reshape(G * hrows, 128),
       roff.reshape(G * r8, 128), curs.reshape(G * rc, 128))
-    out = out.reshape(G, rows, 128)
+    out = out.reshape(G, rows_per, 128)
     err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))
-    return out[:, : t4_count * 8, :], err + bad.astype(jnp.int32)
+    err = err + bad.astype(jnp.int32)
+    return out[:G0, : t4_count * 8, :], err[:G0]
