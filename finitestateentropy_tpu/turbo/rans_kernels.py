@@ -445,10 +445,11 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
-                           out_ref, *, t4_count, hrows,
+                           out_ref, *, t4_count, hrows, nway,
                            tlog=RANS_TABLELOG):
-    """Two groups per kernel instance: the independent chains interleave,
-    hiding each other's lookup/gather/matmul latencies (~1.9x one group)."""
+    """N independent groups per kernel instance: their chains interleave,
+    hiding each other's lookup/gather/matmul latencies (4-way measured
+    ~3x one group; VMEM limits pick nway)."""
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
@@ -461,8 +462,8 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         [tria128, jnp.full((128, 128), 16, jnp.bfloat16),
          jnp.ones((128, 128), jnp.bfloat16)], axis=0)      # [384,128]
     rows_per = t4_count * 8 + 8
-    roff_rows = roff_ref.shape[0] // 2
-    cur_rows = cur_ref.shape[0] // 2
+    roff_rows = roff_ref.shape[0] // nway
+    cur_rows = cur_ref.shape[0] // nway
 
     def step(x, t, gg):
         slot = x & (tsize - 1)
@@ -501,23 +502,23 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
             v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
         return sym, jnp.where(flag, _sll(x, 16) | v, x)
 
-    def body(t4, carry):
-        xa, xb = carry
-        sa, sb = [], []
+    def body(t4, xs):
+        xs = list(xs)
+        syms = [[] for _ in range(nway)]
         for pp in range(4):
-            s0, xa = step(xa, 4 * t4 + pp, 0)
-            s1, xb = step(xb, 4 * t4 + pp, 1)
-            sa.append(s0)
-            sb.append(s1)
-        out_ref[pl.ds(t4 * 8, 8), :] = (
-            sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24))
-        out_ref[pl.ds(rows_per + t4 * 8, 8), :] = (
-            sb[0] | _sll(sb[1], 8) | _sll(sb[2], 16) | _sll(sb[3], 24))
-        return xa, xb
+            for gg in range(nway):
+                sg, xs[gg] = step(xs[gg], 4 * t4 + pp, gg)
+                syms[gg].append(sg)
+        for gg in range(nway):
+            sa = syms[gg]
+            out_ref[pl.ds(gg * rows_per + t4 * 8, 8), :] = (
+                sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24))
+        return tuple(xs)
 
-    xa, xb = jax.lax.fori_loop(0, t4_count, body, (init_ref[0], init_ref[1]))
-    out_ref[pl.ds(t4_count * 8, 8), :] = xa ^ RANS_L
-    out_ref[pl.ds(rows_per + t4_count * 8, 8), :] = xb ^ RANS_L
+    xs = jax.lax.fori_loop(0, t4_count, body,
+                           tuple(init_ref[g] for g in range(nway)))
+    for gg in range(nway):
+        out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
@@ -530,14 +531,21 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     covers both corrupt chains (final states != L) and inconsistent
     steptots (total != csize)."""
     G0 = tables.shape[0]
-    if G0 % 2:  # kernel instances take group pairs; duplicate the last
-        dup = lambda a: jnp.concatenate([a, a[-1:]], axis=0)
-        csize_hw, tables, init_states, streams, steptots = map(
-            dup, (csize_hw, tables, init_states, streams, steptots))
-    G = tables.shape[0]
     T = steptots.shape[1]
     rows_per = t4_count * 8 + 8
     tch = tables.shape[1]
+    r8 = ((T + 127) // 128) * 8
+    rc = ((T + 7) // 8) * 8
+
+    # pick the interleave width by the double-buffered VMEM budget
+    per_group = (hrows + rows_per + rc + r8 + tch + 8) * 512
+    nway = 4 if 8 * per_group < 14 * 2**20 else 2
+    pad = (-G0) % nway
+    if pad:
+        dup = lambda a: jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+        csize_hw, tables, init_states, streams, steptots = map(
+            dup, (csize_hw, tables, init_states, streams, steptots))
+    G = tables.shape[0]
 
     totals = jnp.sum(steptots, axis=2)                               # [G,T]
     cursors = csize_hw[:, None] - (jnp.cumsum(totals, axis=1) - totals)
@@ -551,25 +559,22 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
             .transpose(0, 1, 3, 2)
             .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
     # cursors: column-0 array (traced row, static lane scalar reads)
-    cpad = ((T + 7) // 8) * 8
-    curs = jnp.zeros((G, cpad, 128), jnp.int32).at[:, :T, 0].set(
+    curs = jnp.zeros((G, rc, 128), jnp.int32).at[:, :T, 0].set(
         cursors.astype(jnp.int32))
-    r8 = roff.shape[1]
-    rc = curs.shape[1]
 
     kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
-                             hrows=hrows, tlog=tlog)
+                             hrows=hrows, nway=nway, tlog=tlog)
     out = pl.pallas_call(
         kern,
-        grid=(G // 2,),
+        grid=(G // nway,),
         in_specs=[
-            pl.BlockSpec((2, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway * hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2 * rows_per, 128), lambda g: (g, 0),
+        out_specs=pl.BlockSpec((nway * rows_per, 128), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * rows_per, 128), jnp.int32),
         interpret=interpret,
