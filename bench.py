@@ -130,12 +130,13 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
                                                      parse_rans16_group,
                                                      rans16_compress)
     from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_rans16_ctables, pack_rans16_dtable, rans_decode, rans_encode)
+        pack_rans16_ctables, pack_rans16_dtable, rans_decode_v2, rans_encode)
 
     rng = np.random.default_rng(0)
     d = np.clip((rng.pareto(1.2, n_syms) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
     blob = rans16_compress(d)
-    (n, cs, tlog, flags, norm, max_sv, init, payload), _ = parse_rans16_group(blob)
+    (n, cs, tlog, flags, norm, max_sv, init, payload, stots), _ = \
+        parse_rans16_group(blob)
     n_pad = _pad_n16(n)
     t2 = n_pad // 2048
     hcap = (n_pad // 128 + 16 + 7) // 8 * 8
@@ -161,11 +162,14 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
               jnp.asarray(np.broadcast_to(pack_rans16_dtable(norm), (G, 16, 128)).copy()),
               jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),
                                           (G, 8, 128)).copy()),
-              jnp.asarray(hws))
-        outw, err = rans_decode(*da, t2, hrows, False, True)
+              jnp.asarray(hws),
+              jnp.asarray(np.broadcast_to(stots.astype(np.int32),
+                                          (G,) + stots.shape).copy()))
+        outw, err = rans_decode_v2(*da, t2, hrows, False, 11, True)
         assert not np.asarray(err).any()
-        times_d[G] = _time(lambda a=da, h=hrows: rans_decode(*a, t2, h, False, True)[1],
-                           lambda x: np.asarray(x))
+        times_d[G] = _time(
+            lambda a=da, h=hrows: rans_decode_v2(*a, t2, h, False, 11, True)[1],
+            lambda x: np.asarray(x))
     enc = (g_big - g_small) * nbytes / (times_e[g_big] - times_e[g_small]) / 1e9
     dec = (g_big - g_small) * nbytes / (times_d[g_big] - times_d[g_small]) / 1e9
     log(f"u16dist: encode {enc:6.3f} GB/s  decode {dec:6.3f} GB/s  "

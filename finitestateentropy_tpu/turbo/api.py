@@ -203,11 +203,16 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
 
 
 def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
-                            interpret: bool = False) -> bytes:
-    """Compress a u16 symbol array with the TurboRANS-U16 kernels."""
+                            interpret: bool = False,
+                            steptots: bool = True) -> bytes:
+    """Compress a u16 symbol array with the TurboRANS-U16 kernels.
+
+    steptots=True (speed mode) ships per-step renorm counts enabling the
+    faster v2 decode kernel; False = best ratio (v1 wire)."""
     import jax.numpy as jnp
 
-    from .rans16 import (RANS16_MAGIC, RANS16_MAX_SYMBOL, RANS16_STEP_SYMS,
+    from .rans16 import (FLAG_STEPTOTS as FL16_STEPTOTS, RANS16_MAGIC,
+                         RANS16_MAX_SYMBOL, RANS16_STEP_SYMS,
                          _HDR as HDR16, _pad_n16, rans16_compress)
     from .rans_kernels import pack_rans16_ctables
 
@@ -217,11 +222,11 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
         chunk = symbols[i : i + group_syms]
         n = len(chunk)
         if n == 0 or int(chunk.max(initial=0)) > RANS16_MAX_SYMBOL:
-            out += rans16_compress(chunk)  # twin handles empty/oversized
+            out += rans16_compress(chunk, steptots)  # twin: empty/oversized
             continue
         count = np.bincount(chunk, minlength=1024)
         if int(count.max()) == n:
-            out += rans16_compress(chunk)  # RLE via twin (tiny)
+            out += rans16_compress(chunk, steptots)  # RLE via twin (tiny)
             continue
         from ..refimpl.ncount import fse_write_ncount
         from ..refimpl.norm import fse_normalize_count
@@ -237,15 +242,21 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
         pad = np.full(n_pad, mfs, np.uint16)
         pad[:n] = chunk
         srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
-        stream, fin, csize, _ = rans_encode(
+        stream, fin, csize, stots = rans_encode(
             jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
-            t2, hcap, interpret, True, RANS_TABLELOG, False)
+            t2, hcap, interpret, True, RANS_TABLELOG, steptots)
         cs = int(np.asarray(csize)[0])
         hw = np.asarray(stream)[0].reshape(-1)[:cs].astype(np.uint16)
         ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
-        blob = (HDR16.pack(RANS16_MAGIC, n, cs, tlog, 0, len(ncount))
+        if steptots:
+            sect = np.asarray(stots)[0].astype(np.uint8).reshape(-1).tobytes()
+            fl = FL16_STEPTOTS
+        else:
+            sect, fl = b"", 0
+        blob = (HDR16.pack(RANS16_MAGIC, n, cs, tlog, fl, len(ncount))
                 + ncount_pad
                 + np.asarray(fin)[0].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + sect
                 + hw.astype("<u2").tobytes())
         if len(blob) >= 2 * n + HDR16.size:
             blob = HDR16.pack(RANS16_MAGIC, n, 0, 0, 1, 0) + chunk.tobytes()
@@ -263,7 +274,7 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
     pieces = []
     pos = 0
     while pos < len(blob):
-        (n, cs, tlog, flags, norm, max_sv, init, payload), used = \
+        (n, cs, tlog, flags, norm, max_sv, init, payload, stots), used = \
             parse_rans16_group(blob[pos:])
         pos += used
         if flags & 1:
@@ -277,11 +288,16 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
         hrows = _round8((cs + 127) // 128 + 16)
         hws = np.zeros((1, hrows, 128), np.int32)
         hws.reshape(1, -1)[0, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
-        outw, err = rans_decode(
-            jnp.asarray(np.array([cs], np.int32)),
-            jnp.asarray(pack_rans16_dtable(norm)[None]),
-            jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
-            jnp.asarray(hws), t2, hrows, interpret, True, tlog)
+        common = (jnp.asarray(np.array([cs], np.int32)),
+                  jnp.asarray(pack_rans16_dtable(norm)[None]),
+                  jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+                  jnp.asarray(hws))
+        if stots is not None:  # v2 speed mode
+            outw, err = rans_decode_v2(
+                *common, jnp.asarray(stots.astype(np.int32)[None]),
+                t2, hrows, interpret, tlog, True)
+        else:
+            outw, err = rans_decode(*common, t2, hrows, interpret, True, tlog)
         if np.asarray(err)[0]:
             raise ValueError("turbo-u16 device decode: corrupt group")
         pieces.append(np.asarray(outw)[0].astype("<i4").reshape(-1).view(np.uint16)[:n].copy())

@@ -30,6 +30,7 @@ RANS16_MAX_SYMBOL = 1023
 RANS16_STEP_SYMS = 2048        # symbols per supercycle (2 per lane slot)
 FLAG_RAW = 1
 FLAG_RLE = 2
+FLAG_STEPTOTS = 4   # v2: per-step per-row renorm counts section present
 
 _HDR = struct.Struct("<IIIBBH")
 
@@ -61,7 +62,7 @@ def rans16_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
     return e.astype(np.int64).astype(np.uint32).view(np.int32)
 
 
-def rans16_compress(symbols: np.ndarray) -> bytes:
+def rans16_compress(symbols: np.ndarray, steptots: bool = True) -> bytes:
     symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
     n = len(symbols)
     if n == 0:
@@ -95,12 +96,14 @@ def rans16_compress(symbols: np.ndarray) -> bytes:
 
     x = np.full(TURBO_LANES, RANS_L, dtype=np.uint64)
     chunks: list[np.ndarray] = []
+    tots = np.zeros((T, 8), dtype=np.uint8)       # v2 section (decode order)
     thresh_shift = 32 - table_log
     for t in range(T - 1, -1, -1):
         s = syms[t].astype(np.int64)
         f = fr[s].astype(np.uint64)
         c = cu[s].astype(np.uint64)
         flag = x >= (f << np.uint64(thresh_shift))
+        tots[t] = flag.reshape(8, 128).sum(axis=1).astype(np.uint8)
         if flag.any():
             chunks.append((x[flag] & np.uint64(0xFFFF)).astype(np.uint16)[::-1])
             x = np.where(flag, x >> np.uint64(16), x)
@@ -110,9 +113,15 @@ def rans16_compress(symbols: np.ndarray) -> bytes:
     csize_hw = len(stream)
 
     ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+    if steptots:
+        # T is even (n_pad % 2048 == 0), so T*8 is 4B-aligned
+        sect = tots.reshape(-1).tobytes()
+        flags_out = FLAG_STEPTOTS
+    else:
+        sect, flags_out = b"", 0
     out = (
-        _HDR.pack(RANS16_MAGIC, n, csize_hw, table_log, 0, len(ncount))
-        + ncount_pad + x.astype("<u4").tobytes()
+        _HDR.pack(RANS16_MAGIC, n, csize_hw, table_log, flags_out, len(ncount))
+        + ncount_pad + x.astype("<u4").tobytes() + sect
         + stream.astype("<u2").tobytes()
     )
     if len(out) >= 2 * n + _HDR.size:
@@ -126,24 +135,30 @@ def parse_rans16_group(blob: bytes):
         raise ValueError("bad turbo-u16 magic")
     pos = _HDR.size
     if flags & FLAG_RAW:
-        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2 * n]), pos + 2 * n
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2 * n],
+                None), pos + 2 * n
     if flags & FLAG_RLE:
-        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2]), pos + 4
+        return (n, 0, 0, flags, None, 0, None, blob[pos : pos + 2], None), pos + 4
     norm, max_sv, tlog, used = fse_read_ncount(blob[pos : pos + nc_len + 8],
                                                RANS16_MAX_SYMBOL)
     assert tlog == table_log and used <= nc_len + 1
     pos += nc_len + (-nc_len % 4)
     init = np.frombuffer(blob[pos : pos + 4 * TURBO_LANES], dtype="<u4").copy()
     pos += 4 * TURBO_LANES
+    steptots = None
+    if flags & FLAG_STEPTOTS:
+        T = _pad_n16(n) // TURBO_LANES
+        steptots = np.frombuffer(blob[pos : pos + T * 8], np.uint8).reshape(T, 8).copy()
+        pos += T * 8
     payload = blob[pos : pos + 2 * csize_hw]
     pos += 2 * csize_hw
     return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,
-            init, payload), pos
+            init, payload, steptots), pos
 
 
 def rans16_decompress(blob: bytes) -> np.ndarray:
-    (n, csize_hw, table_log, flags, norm, max_sv, init, payload), _ = \
-        parse_rans16_group(blob)
+    (n, csize_hw, table_log, flags, norm, max_sv, init, payload,
+     steptots), _ = parse_rans16_group(blob)
     if flags & FLAG_RAW:
         return np.frombuffer(payload, "<u2").copy()
     if flags & FLAG_RLE:
@@ -166,6 +181,9 @@ def rans16_decompress(blob: bytes) -> np.ndarray:
         c = e >> np.uint64(21)
         x = f * (x >> np.uint64(table_log)) + slot - c
         flag = x < np.uint64(RANS_L)
+        if steptots is not None and not np.array_equal(
+                flag.reshape(8, 128).sum(axis=1), steptots[t]):
+            raise ValueError("turbo-u16 stream corrupt (steptots)")
         rank = np.cumsum(flag)
         pos = cursor - rank
         v = (hw[np.clip(pos, 0, max(len(hw) - 1, 0))] if len(hw)

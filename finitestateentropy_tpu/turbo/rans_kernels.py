@@ -445,7 +445,7 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
-                           out_ref, *, t4_count, hrows, nway,
+                           out_ref, *, t4_count, hrows, nway, u16=False,
                            tlog=RANS_TABLELOG):
     """N independent groups per kernel instance: their chains interleave,
     hiding each other's lookup/gather/matmul latencies (4-way measured
@@ -454,6 +454,7 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
     tchunks = max(tsize // 128, 1)
+    spc = 2 if u16 else 4            # steps per supercycle (output tile)
     # rank via ONE matmul: [flags | roff_hi | roff_lo] @ [TRIA ; 16s ; 1s]
     r_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -473,9 +474,14 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         for h in range(tchunks):
             trow = jnp.broadcast_to(table_ref[gg, h : h + 1, :], shape)
             e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        sym = e & 0xFF
-        f = _srl(e, 8) & 0xFFF
-        c = _srl(e, 20)
+        if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
+            sym = e & 0x3FF
+            f = _srl(e, 10) & 0x7FF
+            c = _srl(e, 21)
+        else:    # (cumul << 20) | (freq << 8) | sym, rans.py
+            sym = e & 0xFF
+            f = _srl(e, 8) & 0xFFF
+            c = _srl(e, 20)
         x = f * _srl(x, tlog) + slot - c
         flag = _srl(x, 16) == 0
         # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127 (the
@@ -505,14 +511,17 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
     def body(t4, xs):
         xs = list(xs)
         syms = [[] for _ in range(nway)]
-        for pp in range(4):
+        for pp in range(spc):
             for gg in range(nway):
-                sg, xs[gg] = step(xs[gg], 4 * t4 + pp, gg)
+                sg, xs[gg] = step(xs[gg], spc * t4 + pp, gg)
                 syms[gg].append(sg)
         for gg in range(nway):
             sa = syms[gg]
-            out_ref[pl.ds(gg * rows_per + t4 * 8, 8), :] = (
-                sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24))
+            if u16:  # 2 u16 symbols per output word
+                tile = sa[0] | _sll(sa[1], 16)
+            else:    # 4 bytes per output word
+                tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
+            out_ref[pl.ds(gg * rows_per + t4 * 8, 8), :] = tile
         return tuple(xs)
 
     xs = jax.lax.fori_loop(0, t4_count, body,
@@ -521,10 +530,10 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    t4_count: int, hrows: int, interpret: bool = False,
-                   tlog: int = RANS_TABLELOG):
+                   tlog: int = RANS_TABLELOG, u16: bool = False):
     """v2 decode: steptots[G, T, 8] i32 = shipped per-step renorm counts.
 
     Returns (out[G, t4_count*8, 128] i32, err[G] i32 with 0 = ok); err
@@ -563,7 +572,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
         cursors.astype(jnp.int32))
 
     kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
-                             hrows=hrows, nway=nway, tlog=tlog)
+                             hrows=hrows, nway=nway, u16=u16, tlog=tlog)
     out = pl.pallas_call(
         kern,
         grid=(G // nway,),

@@ -161,12 +161,12 @@ def test_rans16_twin_roundtrip_and_device_interpret():
 
     rng = np.random.default_rng(11)
     d = np.clip((rng.pareto(1.2, 20480) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
-    blob = rans16_compress(d)
+    blob = rans16_compress(d, steptots=False)  # v1 wire
     assert np.array_equal(rans16_decompress(blob), d)
 
-    (n, csize_hw, tlog, flags, norm, max_sv, init, payload), _ = \
+    (n, csize_hw, tlog, flags, norm, max_sv, init, payload, stots), _ = \
         parse_rans16_group(blob)
-    assert flags == 0
+    assert flags == 0 and stots is None
     n_pad = _pad_n16(n)
     t2 = n_pad // 2048
     hcap = (n_pad // 128 + 16 + 7) // 8 * 8
@@ -198,6 +198,51 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     assert int(np.asarray(err)[0]) == 0
     got = np.asarray(out)[0].astype("<i4").reshape(-1).view(np.uint16)[:n]
     assert np.array_equal(got, d)
+
+
+def test_rans16_v2_speed_mode_interpret():
+    """u16 v2 wire: steptots section + rans_decode_v2(u16=True)."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans16 import (
+        FLAG_STEPTOTS, _pad_n16, parse_rans16_group, rans16_compress,
+        rans16_decompress)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans16_dtable, rans_decode_v2)
+
+    rng = np.random.default_rng(12)
+    d = np.clip((rng.pareto(1.2, 20480) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
+    blob = rans16_compress(d)  # steptots default on
+    assert np.array_equal(rans16_decompress(blob), d)
+    (n, cs, tlog, flags, norm, max_sv, init, payload, stots), _ = \
+        parse_rans16_group(blob)
+    assert flags == FLAG_STEPTOTS and stots is not None
+
+    n_pad = _pad_n16(n)
+    t2 = n_pad // 2048
+    hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+    hws = np.zeros((1, hrows, 128), np.int32)
+    hws.reshape(1, -1)[0, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
+    out, err = rans_decode_v2(
+        jnp.asarray(np.array([cs], np.int32)),
+        jnp.asarray(pack_rans16_dtable(norm)[None]),
+        jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+        jnp.asarray(hws), jnp.asarray(stots.astype(np.int32)[None]),
+        t2, hrows, True, tlog, True)
+    assert int(np.asarray(err)[0]) == 0
+    got = np.asarray(out)[0].astype("<i4").reshape(-1).view(np.uint16)[:n]
+    assert np.array_equal(got, d)
+
+    # twin rejects a corrupt steptots section
+    bad = bytearray(blob)
+    sect_off = 16 + len(blob) - len(blob)  # header
+    # locate section: header + padded ncount + 4096B init
+    import struct as _st
+    nc_len = _st.unpack_from("<IIIBBH", blob, 0)[5]
+    sect_off = 16 + nc_len + (-nc_len % 4) + 4096
+    bad[sect_off] ^= 1
+    with pytest.raises(ValueError):
+        rans16_decompress(bytes(bad))
 
 
 def test_turbo16_device_api_interpret():
