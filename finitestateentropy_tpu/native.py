@@ -33,6 +33,16 @@ def _load():
         lib = ctypes.CDLL(str(_LIB))
     except OSError:
         return None
+    if getattr(lib, "tfse_version", lambda: 0)() < 2:
+        # stale build from an older checkout: rebuild once and reload
+        try:
+            subprocess.run(["sh", str(_LIB_DIR / "build.sh")], check=True,
+                           capture_output=True)
+            lib = ctypes.CDLL(str(_LIB))
+        except Exception:
+            return None
+        if lib.tfse_version() < 2:
+            return None
     lib.tfse_rans_compress_group.restype = ctypes.c_int64
     lib.tfse_rans_compress_group.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64]
@@ -45,6 +55,14 @@ def _load():
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int16), ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.tfse_rans_compress.restype = ctypes.c_int64
+    lib.tfse_rans_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int32]
+    lib.tfse_rans_decompress.restype = ctypes.c_int64
+    lib.tfse_rans_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -53,21 +71,22 @@ def available() -> bool:
     return _load() is not None
 
 
-def rans_compress_native(data: bytes, group_size: int = 1 << 20) -> bytes:
-    """Multi-group TurboRANS compress, byte-identical to the twin/device."""
+def rans_compress_native(data: bytes, group_size: int = 1 << 20,
+                         nthreads: int = 0) -> bytes:
+    """Multi-group TurboRANS compress, byte-identical to the twin/device.
+
+    Groups are independent, so the native side fans them out over a thread
+    pool (nthreads <= 0 = all cores)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native turbofse library unavailable")
-    out = bytearray()
-    for i in range(0, max(len(data), 1), group_size):
-        chunk = data[i : i + group_size]
-        cap = len(chunk) + 16 + 8192
-        dst = ctypes.create_string_buffer(cap)
-        r = lib.tfse_rans_compress_group(chunk, len(chunk), dst, cap)
-        if r < 0:
-            raise RuntimeError(f"native compress failed: {r}")
-        out += dst.raw[:r]
-    return bytes(out)
+    ngroups = max((len(data) + group_size - 1) // group_size, 1)
+    cap = len(data) + ngroups * (16 + 8192)
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.tfse_rans_compress(data, len(data), group_size, dst, cap, nthreads)
+    if r < 0:
+        raise RuntimeError(f"native compress failed: {r}")
+    return dst.raw[:r]
 
 
 def prep_group_native(chunk: bytes, table_log: int = 11):
@@ -91,21 +110,38 @@ def prep_group_native(chunk: bytes, table_log: int = 11):
             max_sv, ncount.raw[:nc_len], mfs)
 
 
-def rans_decompress_native(blob: bytes) -> bytes:
+def _walk_groups(blob: bytes) -> int:
+    """Header-only walk: total decoded size (mirrors the C-side sizing)."""
+    import struct
+
+    pos, total = 0, 0
+    while pos < len(blob):
+        if pos + 16 > len(blob):
+            raise ValueError("truncated turbo-rans stream")
+        magic, n, csize_hw, tlog, flags, nc_len = struct.unpack_from(
+            "<IIIBBH", blob, pos)
+        if magic != 0x183EF002:
+            raise ValueError("bad turbo-rans magic")
+        if flags & 1:            # raw
+            pos += 16 + n
+        elif flags & 2:          # rle
+            pos += 20
+        else:
+            n_pad = (n + 4095) // 4096 * 4096
+            sect = (n_pad // 1024) * 8 if flags & 4 else 0
+            pos += 16 + (nc_len + 3) // 4 * 4 + 4096 + sect + 2 * csize_hw
+        total += n
+    return total
+
+
+def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
+    """Multi-group threaded decompress (nthreads <= 0 = all cores)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native turbofse library unavailable")
-    out = bytearray()
-    pos = 0
-    consumed = ctypes.c_uint64()
-    while pos < len(blob):
-        # n_sym from the header bounds the output buffer
-        n_sym = int.from_bytes(blob[pos + 4 : pos + 8], "little")
-        dst = ctypes.create_string_buffer(max(n_sym, 1))
-        r = lib.tfse_rans_decompress_group(
-            blob[pos:], len(blob) - pos, dst, n_sym, ctypes.byref(consumed))
-        if r < 0:
-            raise ValueError(f"native decompress failed: {r}")
-        out += dst.raw[:r]
-        pos += consumed.value
-    return bytes(out)
+    total = _walk_groups(blob)
+    dst = ctypes.create_string_buffer(max(total, 1))
+    r = lib.tfse_rans_decompress(blob, len(blob), dst, total, nthreads)
+    if r < 0:
+        raise ValueError(f"native decompress failed: {r}")
+    return dst.raw[:r]

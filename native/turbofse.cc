@@ -11,10 +11,15 @@
 // Exported C ABI (ctypes):
 //   int64 tfse_rans_compress_group(src, n, dst, cap)        -> blob size | -1
 //   int64 tfse_rans_decompress_group(blob, len, dst, cap, *consumed) -> n | -err
+//   int64 tfse_rans_compress(src, n, group, dst, cap, nthreads)  -> size | -err
+//   int64 tfse_rans_decompress(blob, len, dst, cap, nthreads)    -> n | -err
 //   int64 tfse_version()
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -339,7 +344,7 @@ inline int sym_index(int t, int k) {
 
 extern "C" {
 
-int64_t tfse_version() { return 1; }
+int64_t tfse_version() { return 2; }
 
 // Group stats only (histogram + normalization + NCount) — the host-side
 // prep for the TPU encode path.  meta = [max_sv, mfs, nc_len] out.
@@ -474,6 +479,52 @@ raw:
   return int64_t(16 + n);
 }
 
+// Multi-group compress with a thread pool: groups are independent, so each
+// worker claims the next group off an atomic counter, compresses into its
+// own scratch (worst case: raw group + header), and the blobs concatenate
+// in group order.  nthreads <= 0 picks hardware_concurrency.
+int64_t tfse_rans_compress(const uint8_t* src, uint64_t n, uint64_t group,
+                           uint8_t* dst, uint64_t cap, int32_t nthreads) {
+  if (group == 0) return -1;
+  if (n == 0) return tfse_rans_compress_group(src, 0, dst, cap);
+  uint64_t ngroups = (n + group - 1) / group;
+  std::vector<std::vector<uint8_t>> outs(ngroups);
+  std::vector<int64_t> sizes(ngroups, -1);
+  unsigned want = nthreads > 0 ? unsigned(nthreads)
+                               : std::thread::hardware_concurrency();
+  if (want == 0) want = 1;
+  if (want > ngroups) want = unsigned(ngroups);
+  std::atomic<uint64_t> next{0};
+  auto worker = [&]() {
+    for (uint64_t g; (g = next.fetch_add(1)) < ngroups;) {
+      uint64_t off = g * group;
+      uint64_t gn = off + group <= n ? group : n - off;
+      outs[g].resize(gn + 16 + 8192);
+      sizes[g] = tfse_rans_compress_group(src + off, gn, outs[g].data(),
+                                          outs[g].size());
+    }
+  };
+  if (want <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned i = 0; i < want; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  uint64_t total = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    if (sizes[g] < 0) return -1;
+    total += uint64_t(sizes[g]);
+  }
+  if (total > cap) return -3;
+  uint64_t pos = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    std::memcpy(dst + pos, outs[g].data(), size_t(sizes[g]));
+    pos += uint64_t(sizes[g]);
+  }
+  return int64_t(total);
+}
+
 int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
                                    uint8_t* dst, uint64_t cap,
                                    uint64_t* consumed) {
@@ -571,6 +622,63 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     if (x[k] != kL) return -5;
   *consumed = pos;
   return h.n_sym;
+}
+
+// Multi-group decompress: an O(ngroups) header walk sizes every group's
+// source span and output offset (no payload touched), then the pool decodes
+// groups independently.  Returns total decoded bytes or a negative error.
+int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
+                             uint64_t cap, int32_t nthreads) {
+  struct Span { uint64_t src_off, src_len, dst_off, n_sym; };
+  std::vector<Span> spans;
+  uint64_t pos = 0, out = 0;
+  while (pos < len) {
+    if (pos + 16 > len) return -2;
+    Header h = get_header(blob + pos);
+    if (h.magic != kMagic) return -2;
+    uint64_t gl;
+    if (h.flags & kFlagRaw) {
+      gl = 16 + uint64_t(h.n_sym);
+    } else if (h.flags & kFlagRle) {
+      gl = 20;
+    } else {
+      uint64_t n_pad =
+          (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
+      gl = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes +
+           ((h.flags & kFlagStepTots) ? (n_pad / kLanes) * 8 : 0) +
+           2 * uint64_t(h.csize_hw);
+    }
+    if (pos + gl > len) return -3;
+    spans.push_back({pos, gl, out, h.n_sym});
+    pos += gl;
+    out += h.n_sym;
+  }
+  if (out > cap) return -3;
+  unsigned want = nthreads > 0 ? unsigned(nthreads)
+                               : std::thread::hardware_concurrency();
+  if (want == 0) want = 1;
+  if (want > spans.size()) want = unsigned(spans.size());
+  std::atomic<uint64_t> next{0};
+  std::atomic<int64_t> err{0};
+  auto worker = [&]() {
+    for (uint64_t g; (g = next.fetch_add(1)) < spans.size();) {
+      const Span& s = spans[g];
+      uint64_t consumed = 0;
+      int64_t r = tfse_rans_decompress_group(blob + s.src_off, s.src_len,
+                                             dst + s.dst_off, s.n_sym,
+                                             &consumed);
+      if (r != int64_t(s.n_sym) || consumed != s.src_len) err.store(-5);
+    }
+  };
+  if (want <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned i = 0; i < want; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (err.load() != 0) return err.load();
+  return int64_t(out);
 }
 
 }  // extern "C"

@@ -58,6 +58,21 @@ def test_native_multigroup_cross_with_twin():
     assert blob_n == twin
 
 
+def test_native_threaded_pool():
+    """Explicit thread counts produce the identical stream and roundtrip
+    (this box is 1-core, so this checks correctness, not scaling)."""
+    data = generate_proba(80)[:300000] + b"R" * 70000 + generate_proba(14)[:90000]
+    ref = native.rans_compress_native(data, group_size=65536, nthreads=1)
+    for nt in (2, 4, 0):
+        blob = native.rans_compress_native(data, group_size=65536, nthreads=nt)
+        assert blob == ref
+        assert native.rans_decompress_native(blob, nthreads=nt) == data
+    # v2 (speed-mode) sections skipped correctly through the threaded walk
+    sped = b"".join(rans_compress(data[i : i + 65536])
+                    for i in range(0, len(data), 65536))
+    assert native.rans_decompress_native(sped, nthreads=4) == data
+
+
 def test_native_corruption_detected():
     data = generate_proba(80)[:100000]
     blob = bytearray(native.rans_compress_native(data, group_size=len(data)))
