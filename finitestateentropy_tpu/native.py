@@ -32,6 +32,8 @@ def _load():
     try:
         lib = ctypes.CDLL(str(_LIB))
     except OSError:
+        from .utils.debug import debuglog
+        debuglog(2, "native turbofse library unavailable; python twin fallback")
         return None
     if getattr(lib, "tfse_version", lambda: 0)() < 2:
         # stale build from an older checkout: rebuild once and reload

@@ -11,6 +11,7 @@ import struct
 import numpy as np
 
 from ..refimpl.hist import hist_count
+from ..utils.debug import debuglog
 from ..refimpl.ncount import fse_write_ncount
 from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
@@ -90,6 +91,8 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     results: dict[int, bytes] = dict(passthrough)
     for n_pad, items in batches.items():
         G = len(items)
+        debuglog(3, "turbo encode: batch of %d groups, n_pad=%d, steptots=%s",
+                 G, n_pad, steptots)
         t4 = n_pad // TURBO_STEP_SYMS
         hcap = _hrows_cap(n_pad)
         fc = np.zeros((G, 2, 128), np.int32)
@@ -156,6 +159,8 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
 
     for (n_pad, tlog), idxs in batches.items():
         G = len(idxs)
+        debuglog(3, "turbo decode: batch of %d groups, n_pad=%d, tlog=%d",
+                 G, n_pad, tlog)
         t4 = n_pad // TURBO_STEP_SYMS
         hrows = _round8(
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
