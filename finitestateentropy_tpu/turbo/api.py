@@ -70,6 +70,13 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     RAW size) enabling the faster v2 decode kernel; False = best ratio."""
     import jax.numpy as jnp
 
+    if group_size > DEFAULT_GROUP:
+        # encode blocks (src + halfword-expanded out, double-buffered) top
+        # out VMEM just past 1 MiB; decode accepts up to ~2 MiB host-encoded
+        # groups (rans_decode_v2 drops to 1-way)
+        raise ValueError(
+            f"group_size {group_size} exceeds the encode kernel's VMEM "
+            f"budget; use <= {DEFAULT_GROUP}")
     if len(data) == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
     src = np.frombuffer(data, dtype=np.uint8)

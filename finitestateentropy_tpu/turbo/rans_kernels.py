@@ -530,6 +530,14 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
+def _pick_nway(per_group_bytes: int, budget: int = 14 * 2**20) -> int:
+    """Widest interleave whose double-buffered blocks fit the VMEM budget."""
+    for nway in (4, 2):
+        if 2 * nway * per_group_bytes < budget:
+            return nway
+    return 1
+
+
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
 def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    t4_count: int, hrows: int, interpret: bool = False,
@@ -546,9 +554,10 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     r8 = ((T + 127) // 128) * 8
     rc = ((T + 7) // 8) * 8
 
-    # pick the interleave width by the double-buffered VMEM budget
+    # pick the interleave width by the double-buffered VMEM budget; 1-way
+    # still fits groups up to ~2 MiB (host encoders have no VMEM bound)
     per_group = (hrows + rows_per + rc + r8 + tch + 8) * 512
-    nway = 4 if 8 * per_group < 14 * 2**20 else 2
+    nway = _pick_nway(per_group)
     pad = (-G0) % nway
     if pad:
         dup = lambda a: jnp.concatenate([a] + [a[-1:]] * pad, axis=0)

@@ -200,6 +200,18 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     assert np.array_equal(got, d)
 
 
+def test_nway_selection_and_group_size_guard():
+    from finitestateentropy_tpu.turbo.api import turbo_compress_device
+    from finitestateentropy_tpu.turbo.rans_kernels import _pick_nway
+
+    mib = 1 << 20
+    assert _pick_nway(1 * mib) == 4       # typical 1 MiB group
+    assert _pick_nway(3 * mib) == 2
+    assert _pick_nway(4 * mib) == 1       # ~2 MiB host-encoded group
+    with pytest.raises(ValueError, match="VMEM"):
+        turbo_compress_device(b"x" * 100, group_size=2 * mib)
+
+
 def test_rans16_v2_speed_mode_interpret():
     """u16 v2 wire: steptots section + rans_decode_v2(u16=True)."""
     import jax.numpy as jnp
