@@ -200,6 +200,19 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     assert np.array_equal(got, d)
 
 
+def test_tablelog_speed_modes_interpret():
+    """-M / table_log knob end to end: twin parity + device decode."""
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+    from finitestateentropy_tpu.turbo.rans import rans_compress
+
+    data = generate_proba(80)[:100000]
+    for tlog in (9, 10):
+        blob = turbo_compress_device(data, interpret=True, table_log=tlog)
+        assert blob == rans_compress(data, table_log=tlog)
+        assert turbo_decompress_device(blob, interpret=True) == data
+
+
 def test_nway_selection_and_group_size_guard():
     from finitestateentropy_tpu.turbo.api import turbo_compress_device
     from finitestateentropy_tpu.turbo.rans_kernels import _pick_nway
