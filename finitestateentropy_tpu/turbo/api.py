@@ -228,52 +228,71 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
                          _HDR as HDR16, _pad_n16, rans16_compress)
     from .rans_kernels import pack_rans16_ctables
 
-    symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
-    out = bytearray()
-    for i in range(0, max(len(symbols), 1), group_syms):
-        chunk = symbols[i : i + group_syms]
-        n = len(chunk)
-        if n == 0 or int(chunk.max(initial=0)) > RANS16_MAX_SYMBOL:
-            out += rans16_compress(chunk, steptots)  # twin: empty/oversized
-            continue
-        count = np.bincount(chunk, minlength=1024)
-        if int(count.max()) == n:
-            out += rans16_compress(chunk, steptots)  # RLE via twin (tiny)
-            continue
-        from ..refimpl.ncount import fse_write_ncount
-        from ..refimpl.norm import fse_normalize_count
+    from ..refimpl.ncount import fse_write_ncount
+    from ..refimpl.norm import fse_normalize_count
 
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint16)
+    chunks = [symbols[i : i + group_syms]
+              for i in range(0, max(len(symbols), 1), group_syms)]
+
+    # batch groups by padded size, one kernel launch per batch (as the byte
+    # path does); twin handles empty/oversized/RLE groups
+    results: dict[int, bytes] = {}
+    batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
+    for gi, chunk in enumerate(chunks):
+        n = len(chunk)
+        count = np.bincount(chunk, minlength=1024) if n else None
+        if (n == 0 or int(chunk.max(initial=0)) > RANS16_MAX_SYMBOL
+                or int(count.max()) == n):
+            results[gi] = rans16_compress(chunk, steptots)
+            continue
         max_sv = int(chunk.max())
-        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1],
+                                         n, max_sv)
         ncount = fse_write_ncount(norm, max_sv, tlog)
-        fc, mg = pack_rans16_ctables(np.asarray(norm))
         mfs = int(count.argmax())
-        n_pad = _pad_n16(n)
+        batches.setdefault(_pad_n16(n), []).append(
+            (gi, chunk, (np.asarray(norm), ncount, mfs, tlog)))
+
+    for n_pad, items in batches.items():
+        G = len(items)
+        debuglog(3, "turbo16 encode: batch of %d groups, n_pad=%d", G, n_pad)
         t2 = n_pad // RANS16_STEP_SYMS
         hcap = _round8(n_pad // 128 + 16)
-        pad = np.full(n_pad, mfs, np.uint16)
-        pad[:n] = chunk
-        srcw = pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128)
+        fc = np.zeros((G, 8, 128), np.int32)
+        mg = np.zeros((G, 8, 128), np.int32)
+        srcw = np.zeros((G, t2 * 8, 128), np.int32)
+        for j, (gi, chunk, (norm, ncount, mfs, tlog)) in enumerate(items):
+            fc[j], mg[j] = pack_rans16_ctables(norm)
+            pad = np.full(n_pad, mfs, np.uint16)
+            pad[: len(chunk)] = chunk
+            srcw[j] = pad.view("<u4").view(np.int32).reshape(t2 * 8, 128)
         stream, fin, csize, stots = rans_encode(
-            jnp.asarray(fc[None]), jnp.asarray(mg[None]), jnp.asarray(srcw),
+            jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw),
             t2, hcap, interpret, True, RANS_TABLELOG, steptots)
-        cs = int(np.asarray(csize)[0])
-        hw = np.asarray(stream)[0].reshape(-1)[:cs].astype(np.uint16)
-        ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
-        if steptots:
-            sect = np.asarray(stots)[0].astype(np.uint8).reshape(-1).tobytes()
-            fl = FL16_STEPTOTS
-        else:
-            sect, fl = b"", 0
-        blob = (HDR16.pack(RANS16_MAGIC, n, cs, tlog, fl, len(ncount))
-                + ncount_pad
-                + np.asarray(fin)[0].reshape(-1).view(np.uint32).astype("<u4").tobytes()
-                + sect
-                + hw.astype("<u2").tobytes())
-        if len(blob) >= 2 * n + HDR16.size:
-            blob = HDR16.pack(RANS16_MAGIC, n, 0, 0, 1, 0) + chunk.tobytes()
-        out += blob
-    return bytes(out)
+        stream = np.asarray(stream)
+        fin = np.asarray(fin)
+        csize = np.asarray(csize)
+        stots_np = np.asarray(stots).astype(np.uint8) if steptots else None
+        for j, (gi, chunk, (norm, ncount, mfs, tlog)) in enumerate(items):
+            n = len(chunk)
+            cs = int(csize[j])
+            hw = stream[j].reshape(-1)[:cs].astype(np.uint16)
+            ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
+            if steptots:
+                sect = stots_np[j].reshape(-1).tobytes()
+                fl = FL16_STEPTOTS
+            else:
+                sect, fl = b"", 0
+            blob = (HDR16.pack(RANS16_MAGIC, n, cs, tlog, fl, len(ncount))
+                    + ncount_pad
+                    + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                    + sect
+                    + hw.astype("<u2").tobytes())
+            if len(blob) >= 2 * n + HDR16.size:
+                blob = HDR16.pack(RANS16_MAGIC, n, 0, 0, 1, 0) + chunk.tobytes()
+            results[gi] = blob
+    return b"".join(results[gi] for gi in range(len(chunks)))
 
 
 def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarray:
@@ -283,34 +302,60 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
     from .rans16 import RANS16_STEP_SYMS, _pad_n16, parse_rans16_group
     from .rans_kernels import pack_rans16_dtable
 
-    pieces = []
+    groups = []
     pos = 0
     while pos < len(blob):
-        (n, cs, tlog, flags, norm, max_sv, init, payload, stots), used = \
-            parse_rans16_group(blob[pos:])
+        g, used = parse_rans16_group(blob[pos:])
+        groups.append(g)
         pos += used
+
+    pieces: list[np.ndarray | None] = [None] * len(groups)
+    batches: dict[tuple[int, int, bool], list[int]] = {}
+    for i, g in enumerate(groups):
+        n, cs, tlog, flags, norm, max_sv, init, payload, stots = g
         if flags & 1:
-            pieces.append(np.frombuffer(payload, "<u2"))
-            continue
-        if flags & 2:
-            pieces.append(np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16))
-            continue
-        n_pad = _pad_n16(n)
+            pieces[i] = np.frombuffer(payload, "<u2")
+        elif flags & 2:
+            pieces[i] = np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16)
+        else:
+            batches.setdefault((_pad_n16(n), tlog, stots is not None),
+                               []).append(i)
+
+    for (n_pad, tlog, have_tots), idxs in batches.items():
+        G = len(idxs)
+        debuglog(3, "turbo16 decode: batch of %d groups, n_pad=%d, v2=%s",
+                 G, n_pad, have_tots)
         t2 = n_pad // RANS16_STEP_SYMS
-        hrows = _round8((cs + 127) // 128 + 16)
-        hws = np.zeros((1, hrows, 128), np.int32)
-        hws.reshape(1, -1)[0, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
-        common = (jnp.asarray(np.array([cs], np.int32)),
-                  jnp.asarray(pack_rans16_dtable(norm)[None]),
-                  jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+        T = n_pad // 1024
+        hrows = _round8(max((groups[i][1] + 127) // 128 for i in idxs) + 16)
+        tbl = np.zeros((G, 16, 128), np.int32)
+        init_b = np.zeros((G, 8, 128), np.int32)
+        hws = np.zeros((G, hrows, 128), np.int32)
+        cs_b = np.zeros(G, np.int32)
+        tots = np.zeros((G, T, 8), np.int32)
+        for j, i in enumerate(idxs):
+            n, cs, _tl, flags, norm, max_sv, init, payload, stots = groups[i]
+            tbl[j] = pack_rans16_dtable(norm)
+            init_b[j] = init.view(np.int32).reshape(8, 128)
+            hw = np.frombuffer(payload, "<u2").astype(np.int32)
+            hws[j].reshape(-1)[: len(hw)] = hw
+            cs_b[j] = cs
+            if have_tots:
+                tots[j] = stots
+        common = (jnp.asarray(cs_b), jnp.asarray(tbl), jnp.asarray(init_b),
                   jnp.asarray(hws))
-        if stots is not None:  # v2 speed mode
-            outw, err = rans_decode_v2(
-                *common, jnp.asarray(stots.astype(np.int32)[None]),
-                t2, hrows, interpret, tlog, True)
+        if have_tots:  # v2 speed mode
+            outw, err = rans_decode_v2(*common, jnp.asarray(tots),
+                                       t2, hrows, interpret, tlog, True)
         else:
             outw, err = rans_decode(*common, t2, hrows, interpret, True, tlog)
-        if np.asarray(err)[0]:
-            raise ValueError("turbo-u16 device decode: corrupt group")
-        pieces.append(np.asarray(outw)[0].astype("<i4").reshape(-1).view(np.uint16)[:n].copy())
+        err = np.asarray(err)
+        if err.any():
+            raise ValueError(
+                f"turbo-u16 device decode: corrupt groups {np.nonzero(err)[0]}")
+        outw = np.asarray(outw)
+        for j, i in enumerate(idxs):
+            n = groups[i][0]
+            pieces[i] = (outw[j].astype("<i4").reshape(-1)
+                         .view(np.uint16)[:n].copy())
     return np.concatenate(pieces) if pieces else np.zeros(0, np.uint16)
