@@ -61,7 +61,10 @@ def test_native_multigroup_cross_with_twin():
 def test_native_threaded_pool():
     """Explicit thread counts produce the identical stream and roundtrip
     (this box is 1-core, so this checks correctness, not scaling)."""
-    data = generate_proba(80)[:300000] + b"R" * 70000 + generate_proba(14)[:90000]
+    rng = np.random.default_rng(9)
+    data = (generate_proba(80)[:300000] + b"R" * 70000          # RLE group
+            + bytes(rng.integers(0, 256, 70000, dtype=np.uint8))  # RAW group
+            + generate_proba(14)[:90000])
     ref = native.rans_compress_native(data, group_size=65536, nthreads=1)
     for nt in (2, 4, 0):
         blob = native.rans_compress_native(data, group_size=65536, nthreads=nt)
