@@ -2,6 +2,7 @@
 (programs/commandline.c:94-109) plus TPU-specific options.
 
   fse-tpu [-e|-h] [-d] [-t] [-b] [-B#] [-f] [-v|-q] input [output]
+  ('-' reads stdin / writes stdout, as in the reference)
   extra:  --device {host,tpu}   compute path (default: tpu if available)
           --mesh N              data-parallel mesh size for batch compression
 """
@@ -53,6 +54,27 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _read_input(path: str) -> bytes:
+    """'-' reads stdin, as the reference CLI does (commandline.c:222-257)."""
+    return sys.stdin.buffer.read() if path == "-" else open(path, "rb").read()
+
+
+def _write_output(path: str, data: bytes) -> None:
+    if path == "-":
+        sys.stdout.buffer.write(data)
+        sys.stdout.buffer.flush()
+    else:
+        open(path, "wb").write(data)
+
+
+def _default_out(args, decode: bool, ext: str) -> str:
+    if args.output:
+        return args.output
+    if args.input == "-":
+        return "-"
+    return args.input.removesuffix(ext) if decode else args.input + ext
+
+
 def _parse_bsize(s: str) -> int:
     mult = 1
     if s and s[-1] in "Kk":
@@ -98,21 +120,31 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     try:
         if decode:
-            out = args.output or args.input.removesuffix(FSE_EXTENSION)
+            out = _default_out(args, True, FSE_EXTENSION)
             if args.test:
-                with open(args.input, "rb") as f:
-                    data = fio.decompress_bytes(f.read())
+                data = fio.decompress_bytes(_read_input(args.input))
                 if verbosity >= 2:
                     print(f"OK: decoded {len(data)} bytes", file=sys.stderr)
+            elif args.input == "-" or out == "-":
+                data = fio.decompress_bytes(_read_input(args.input))
+                _write_output(out, data)
+                if verbosity >= 2:
+                    print(f"Decoded {len(data)} bytes", file=sys.stderr)
             else:
                 n = fio.decompress_file(args.input, out)
                 if verbosity >= 2:
                     print(f"Decoded {n} bytes", file=sys.stderr)
         else:
-            out = args.output or args.input + FSE_EXTENSION
+            out = _default_out(args, False, FSE_EXTENSION)
             comp, _ = _get_codec_fns(args)
             bid = _block_size_to_id(_parse_bsize(args.bsize)) if args.bsize else FIO_BLOCKSIZEID_DEFAULT
-            n, c = fio.compress_file(args.input, out, codec, bid, comp)
+            if args.input == "-" or out == "-":
+                data = _read_input(args.input)
+                frame = fio.compress_bytes(data, codec, bid, comp)
+                _write_output(out, frame)
+                n, c = len(data), len(frame)
+            else:
+                n, c = fio.compress_file(args.input, out, codec, bid, comp)
             if verbosity >= 2:
                 ratio = 100.0 * c / n if n else 0.0
                 print(f"Compressed {n} bytes into {c} bytes ==> {ratio:.2f}%", file=sys.stderr)
@@ -150,13 +182,12 @@ def _turbo_main(args, verbosity: int) -> int:
 
     interpret = not has_tpu
     decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
-    data = open(args.input, "rb").read()
+    data = _read_input(args.input)
     t0 = time.perf_counter()
     if decode:
         out = turbo_decompress_device(data, interpret=interpret)
-        dst = args.output or args.input.removesuffix(TURBO_EXTENSION)
         if not args.test:
-            open(dst, "wb").write(out)
+            _write_output(_default_out(args, True, TURBO_EXTENSION), out)
         if verbosity >= 2:
             print(f"Decoded {len(out)} bytes in {time.perf_counter()-t0:.2f}s "
                   "(includes kernel compile on first use)", file=sys.stderr)
@@ -165,8 +196,7 @@ def _turbo_main(args, verbosity: int) -> int:
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
                                      interpret=interpret,
                                      steptots=not args.ratio, **kw)
-        dst = args.output or args.input + TURBO_EXTENSION
-        open(dst, "wb").write(blob)
+        _write_output(_default_out(args, False, TURBO_EXTENSION), blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)
             print(f"Compressed {len(data)} bytes into {len(blob)} bytes "
@@ -178,21 +208,19 @@ def _turbo_native_main(args, verbosity: int) -> int:
     from .native import rans_compress_native, rans_decompress_native
 
     decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
-    data = open(args.input, "rb").read()
+    data = _read_input(args.input)
     t0 = time.perf_counter()
     if decode:
         out = rans_decompress_native(data)
         if not args.test:
-            dst = args.output or args.input.removesuffix(TURBO_EXTENSION)
-            open(dst, "wb").write(out)
+            _write_output(_default_out(args, True, TURBO_EXTENSION), out)
         if verbosity >= 2:
             print(f"Decoded {len(out)} bytes "
                   f"({len(out)/max(time.perf_counter()-t0,1e-9)/1e6:.0f} MB/s, native)",
                   file=sys.stderr)
     else:
         blob = rans_compress_native(data, group_size=_parse_bsize(args.group))
-        dst = args.output or args.input + TURBO_EXTENSION
-        open(dst, "wb").write(blob)
+        _write_output(_default_out(args, False, TURBO_EXTENSION), blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)
             print(f"Compressed {len(data)} bytes into {len(blob)} bytes "

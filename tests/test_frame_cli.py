@@ -53,3 +53,21 @@ def test_cli_roundtrip(tmp_path):
     assert (tmp_path / "x.out").read_bytes() == data
     # test mode
     assert main(["-t", str(tmp_path / "x.fse")]) == 0
+
+
+def test_cli_stdin_stdout_pipes(tmp_path):
+    """'-' reads stdin / writes stdout (reference commandline.c:222-257)."""
+    import subprocess
+    import sys
+
+    from finitestateentropy_tpu.io import frame as fio
+    from finitestateentropy_tpu.utils import generate_proba
+
+    data = generate_proba(70)[:50000]
+    env_cmd = [sys.executable, "-m", "finitestateentropy_tpu.cli"]
+    r = subprocess.run(env_cmd + ["-e", "-", "-"], input=data,
+                       capture_output=True, check=True)
+    assert r.stdout == fio.compress_bytes(data)
+    r2 = subprocess.run(env_cmd + ["-d", "-", "-"], input=r.stdout,
+                        capture_output=True, check=True)
+    assert r2.stdout == data
