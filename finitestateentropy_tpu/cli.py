@@ -67,6 +67,17 @@ def _write_output(path: str, data: bytes) -> None:
         open(path, "wb").write(data)
 
 
+def _refuse_overwrite(path: str, force: bool) -> bool:
+    """Reference behavior: never overwrite without -f (fileio.c:222-257)."""
+    import os
+
+    if path != "-" and not force and os.path.exists(path):
+        print(f"Error: {path} already exists; use -f to overwrite",
+              file=sys.stderr)
+        return True
+    return False
+
+
 def _default_out(args, decode: bool, ext: str) -> str:
     if args.output:
         return args.output
@@ -121,6 +132,8 @@ def main(argv=None) -> int:
     try:
         if decode:
             out = _default_out(args, True, FSE_EXTENSION)
+            if not args.test and _refuse_overwrite(out, args.force):
+                return 1
             if args.test:
                 data = fio.decompress_bytes(_read_input(args.input))
                 if verbosity >= 2:
@@ -136,6 +149,8 @@ def main(argv=None) -> int:
                     print(f"Decoded {n} bytes", file=sys.stderr)
         else:
             out = _default_out(args, False, FSE_EXTENSION)
+            if _refuse_overwrite(out, args.force):
+                return 1
             comp, _ = _get_codec_fns(args)
             bid = _block_size_to_id(_parse_bsize(args.bsize)) if args.bsize else FIO_BLOCKSIZEID_DEFAULT
             if args.input == "-" or out == "-":
@@ -185,18 +200,24 @@ def _turbo_main(args, verbosity: int) -> int:
     data = _read_input(args.input)
     t0 = time.perf_counter()
     if decode:
+        dst = _default_out(args, True, TURBO_EXTENSION)
+        if not args.test and _refuse_overwrite(dst, args.force):
+            return 1
         out = turbo_decompress_device(data, interpret=interpret)
         if not args.test:
-            _write_output(_default_out(args, True, TURBO_EXTENSION), out)
+            _write_output(dst, out)
         if verbosity >= 2:
             print(f"Decoded {len(out)} bytes in {time.perf_counter()-t0:.2f}s "
                   "(includes kernel compile on first use)", file=sys.stderr)
     else:
+        dst = _default_out(args, False, TURBO_EXTENSION)
+        if _refuse_overwrite(dst, args.force):
+            return 1
         kw = {"table_log": args.table_log} if args.table_log else {}
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
                                      interpret=interpret,
                                      steptots=not args.ratio, **kw)
-        _write_output(_default_out(args, False, TURBO_EXTENSION), blob)
+        _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)
             print(f"Compressed {len(data)} bytes into {len(blob)} bytes "
@@ -211,16 +232,22 @@ def _turbo_native_main(args, verbosity: int) -> int:
     data = _read_input(args.input)
     t0 = time.perf_counter()
     if decode:
+        dst = _default_out(args, True, TURBO_EXTENSION)
+        if not args.test and _refuse_overwrite(dst, args.force):
+            return 1
         out = rans_decompress_native(data)
         if not args.test:
-            _write_output(_default_out(args, True, TURBO_EXTENSION), out)
+            _write_output(dst, out)
         if verbosity >= 2:
             print(f"Decoded {len(out)} bytes "
                   f"({len(out)/max(time.perf_counter()-t0,1e-9)/1e6:.0f} MB/s, native)",
                   file=sys.stderr)
     else:
+        dst = _default_out(args, False, TURBO_EXTENSION)
+        if _refuse_overwrite(dst, args.force):
+            return 1
         blob = rans_compress_native(data, group_size=_parse_bsize(args.group))
-        _write_output(_default_out(args, False, TURBO_EXTENSION), blob)
+        _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)
             print(f"Compressed {len(data)} bytes into {len(blob)} bytes "

@@ -71,3 +71,17 @@ def test_cli_stdin_stdout_pipes(tmp_path):
     r2 = subprocess.run(env_cmd + ["-d", "-", "-"], input=r.stdout,
                         capture_output=True, check=True)
     assert r2.stdout == data
+
+
+def test_cli_refuses_overwrite_without_force(tmp_path):
+    from finitestateentropy_tpu.cli import main
+    from finitestateentropy_tpu.utils import generate_proba
+
+    src = tmp_path / "x"
+    src.write_bytes(generate_proba(70)[:10000])
+    dst = tmp_path / "x.fse"
+    dst.write_bytes(b"existing")
+    assert main(["-e", str(src), str(dst)]) == 1
+    assert dst.read_bytes() == b"existing"
+    assert main(["-e", "-f", str(src), str(dst)]) == 0
+    assert dst.read_bytes() != b"existing"
