@@ -15,6 +15,9 @@ import time
 from .config import FIO_BLOCKSIZEID_DEFAULT
 from .errors import FSEError
 
+RANS_TABLELOG_DEFAULT = 11  # turbo/rans.py RANS_TABLELOG (import-free: CLI
+                            # startup must not pull jax/numpy for --help)
+
 FSE_EXTENSION = ".fse"
 
 
@@ -188,9 +191,14 @@ def _turbo_main(args, verbosity: int) -> int:
         from . import native
 
         if native.available():
-            if not args.ratio and not (args.decode or args.test) and verbosity >= 2:
+            encode = not (args.decode or args.test)
+            if encode and not args.ratio and verbosity >= 2:
                 print("note: native host path emits ratio-mode (v1) frames",
                       file=sys.stderr)
+            if encode and args.table_log and args.table_log != RANS_TABLELOG_DEFAULT:
+                print(f"warning: -M {args.table_log} is not supported by the "
+                      f"native host path; emitting tableLog "
+                      f"{RANS_TABLELOG_DEFAULT} frames", file=sys.stderr)
             return _turbo_native_main(args, verbosity)
 
     from .turbo.api import turbo_compress_device, turbo_decompress_device

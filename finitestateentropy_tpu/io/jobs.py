@@ -46,7 +46,9 @@ def _default_compress_group(chunk: bytes) -> bytes:
     from .. import native
 
     if native.available():
-        return native.rans_compress_native(chunk, group_size=len(chunk))
+        # empty source files reach here with len(chunk) == 0; the native
+        # entry rejects group == 0, so clamp (one group is always enough)
+        return native.rans_compress_native(chunk, group_size=max(len(chunk), 1))
     from ..turbo.rans import rans_compress
 
     return rans_compress(chunk)

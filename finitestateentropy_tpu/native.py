@@ -82,6 +82,7 @@ def rans_compress_native(data: bytes, group_size: int = 1 << 20,
     lib = _load()
     if lib is None:
         raise RuntimeError("native turbofse library unavailable")
+    group_size = max(int(group_size), 1)  # empty inputs: 1 header-only group
     ngroups = max((len(data) + group_size - 1) // group_size, 1)
     cap = len(data) + ngroups * (16 + 8192)
     dst = ctypes.create_string_buffer(cap)

@@ -122,7 +122,9 @@ def zlibh_decompress(comp: bytes, dst_size: int) -> bytes:
         sym = lcode.decode(br)
         if sym == 256:
             break
-        if sym > 256 or len(out) > dst_size:
+        if sym > 256 or len(out) >= dst_size:
+            # >= : appending would exceed the declared regenerated size, so
+            # the stream is corrupt even if end-of-block follows immediately
             raise CorruptionError("zlibh: corrupt literal stream")
         out.append(sym)
     return bytes(out)

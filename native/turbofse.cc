@@ -37,6 +37,16 @@ inline int highbit32(uint32_t v) {
   return 31 - __builtin_clz(v);
 }
 
+// A preceding RAW group of odd length leaves the next group at an odd
+// offset, so payload halfwords may be misaligned; memcpy-based loads keep
+// this well-defined on strict-alignment targets (compiles to a plain load
+// where unaligned access is legal).
+inline uint16_t load_le16(const uint8_t* p) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return v;
+}
+
 // 4 interleaved count tables break the store-to-load dependence (the
 // reference's HIST_count_parallel_wksp trick, hist.c:58-133)
 void histogram(const uint8_t* src, uint64_t n, uint32_t* count) {
@@ -552,7 +562,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   int nc_pad = (int(h.ncount_len) + 3) & ~3;
   pos += nc_pad;
   if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap) return -3;
-  const uint32_t* init = reinterpret_cast<const uint32_t*>(blob + pos);
+  const uint8_t* init = blob + pos;  // may be misaligned; memcpy'd below
   pos += 4 * kLanes;
   if (h.flags & kFlagStepTots) {
     // v2 section is redundant for this decoder (ranks are recomputed);
@@ -563,7 +573,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     pos += sect;
   }
   if (pos + 2 * h.csize_hw > len) return -3;
-  const uint16_t* hw = reinterpret_cast<const uint16_t*>(blob + pos);
+  const uint8_t* hw = blob + pos;  // byte base; load_le16 at 2*cursor
   pos += 2 * h.csize_hw;
 
   // decode table packed as in the kernel: (slot-cumul) << 20 | freq << 8 | sym
@@ -602,7 +612,8 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     for (int k = 0; k < kLanes; ++k) {
       if (flags[k]) {
         --cursor;
-        uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw ? hw[cursor] : 0;
+        uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw
+                         ? load_le16(hw + 2 * cursor) : 0;
         x[k] = (x[k] << 16) | v;
       }
     }

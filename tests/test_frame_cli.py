@@ -85,3 +85,18 @@ def test_cli_refuses_overwrite_without_force(tmp_path):
     assert dst.read_bytes() == b"existing"
     assert main(["-e", "-f", str(src), str(dst)]) == 0
     assert dst.read_bytes() != b"existing"
+
+
+def test_cli_turbo_table_log_warns_on_native_fallback(tmp_path, capsys):
+    """ADVICE r1: -M != 11 must warn when the native host path ignores it."""
+    src = tmp_path / "in.bin"
+    src.write_bytes(b"abcdabcdaabb" * 4096)
+    from finitestateentropy_tpu import native
+    from finitestateentropy_tpu.cli import main
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    assert main(["-T", "-M", "9", "-f", str(src),
+                 str(tmp_path / "x.tfse")]) == 0
+    err = capsys.readouterr().err
+    assert "-M 9" in err and "tableLog" in err

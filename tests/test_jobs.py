@@ -94,3 +94,15 @@ def test_verify_job(tmp_path):
     dst.write_bytes(bytes(blob))
     with pytest.raises(Exception):
         verify_job(dst, decompress=rans_decompress_all)
+
+
+def test_empty_source_file(tmp_path):
+    """ADVICE r1: empty source must not crash the native default path."""
+    src = tmp_path / "empty.bin"
+    src.write_bytes(b"")
+    dst = tmp_path / "empty.tfse"
+    m = compress_file_resumable(src, dst)  # default native compress_group
+    assert job_status(dst)["done"]
+    assert m.bytes_in == 0
+    assert rans_decompress_all(dst.read_bytes()) == b""
+    assert verify_job(dst, decompress=rans_decompress_all)

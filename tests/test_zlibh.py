@@ -70,3 +70,17 @@ def test_zlibh_encode_byte_identical(tmp_path, ref_fse, ref_probagen, kind):
     from finitestateentropy_tpu.io.frame import compress_bytes
 
     assert compress_bytes(data, codec="zlibh") == ref_out.read_bytes()
+
+
+def test_zlibh_decode_rejects_oversized_output():
+    """ADVICE r1: a stream whose end-of-block arrives right after the literal
+    that already filled dst_size must raise, not return dst_size+1 bytes."""
+    from finitestateentropy_tpu.errors import CorruptionError
+    from finitestateentropy_tpu.refimpl.zlibh import (zlibh_compress,
+                                                      zlibh_decompress)
+
+    data = b"entropy coding streams " * 50
+    payload = zlibh_compress(data)
+    assert zlibh_decompress(payload, len(data)) == data
+    with pytest.raises(CorruptionError):
+        zlibh_decompress(payload, len(data) - 1)
