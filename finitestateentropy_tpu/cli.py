@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("-q", dest="quiet", action="count", default=0)
     p.add_argument("-H", "--help", action="help")
+    p.add_argument("--auto", action="store_true",
+                   help="pick FSE vs HUF per file from block histograms")
     p.add_argument("-T", "--turbo", action="store_true",
                    help="TPU-native TurboRANS frame format (lane-interleaved)")
     p.add_argument("--ratio", action="store_true",
@@ -100,10 +102,14 @@ def _parse_bsize(s: str) -> int:
 
 def _get_codec_fns(args):
     """Return (compressor, decompressor) batch callables for the device."""
+    return _get_codec_fns_named(args, args.codec or "fse")
+
+
+def _get_codec_fns_named(args, codec: str):
     if args.device == "tpu":
         from .models import get_batch_codec
 
-        return get_batch_codec(args.codec or "fse", mesh=args.mesh)
+        return get_batch_codec(codec, mesh=args.mesh)
     return None, None  # frame layer defaults to the host twin
 
 
@@ -154,14 +160,26 @@ def main(argv=None) -> int:
             out = _default_out(args, False, FSE_EXTENSION)
             if _refuse_overwrite(out, args.force):
                 return 1
-            comp, _ = _get_codec_fns(args)
             bid = _block_size_to_id(_parse_bsize(args.bsize)) if args.bsize else FIO_BLOCKSIZEID_DEFAULT
-            if args.input == "-" or out == "-":
+            if args.auto and not args.codec:
+                from .models import choose_codec
+
+                data = _read_input(args.input)
+                codec = choose_codec(fio.split_blocks(data, 1 << (10 + bid)))
+                if verbosity >= 2:
+                    print(f"auto: selected {codec}", file=sys.stderr)
+                comp, _ = _get_codec_fns_named(args, codec)
+                frame = fio.compress_bytes(data, codec, bid, comp)
+                _write_output(out, frame)
+                n, c = len(data), len(frame)
+            elif args.input == "-" or out == "-":
+                comp, _ = _get_codec_fns(args)
                 data = _read_input(args.input)
                 frame = fio.compress_bytes(data, codec, bid, comp)
                 _write_output(out, frame)
                 n, c = len(data), len(frame)
             else:
+                comp, _ = _get_codec_fns(args)
                 n, c = fio.compress_file(args.input, out, codec, bid, comp)
             if verbosity >= 2:
                 ratio = 100.0 * c / n if n else 0.0

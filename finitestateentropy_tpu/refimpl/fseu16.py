@@ -148,11 +148,16 @@ def fse_decompress_u16_using_dtable(csrc: bytes, dt: DTable, max_dst_size: int) 
     return out[:n]
 
 
-def fse_decompress_u16(csrc: bytes, max_dst_size: int) -> np.ndarray:
-    """FSE_decompressU16 (fseU16.c:306-329)."""
+def fse_decompress_u16(csrc: bytes, max_dst_size: int,
+                       max_symbol_value: int = FSEU16_MAX_SYMBOL_VALUE) -> np.ndarray:
+    """FSE_decompressU16 (fseU16.c:306-329).
+
+    max_symbol_value mirrors the FSEU16_MAX_SYMBOL_VALUE compile knob
+    (fseU16.h:49-55): the reference default build accepts <= 286; rebuilds
+    with a larger knob accept up to the absolute max 4095 (fseU16.c:54)."""
     if len(csrc) < 2:
         raise FSEError(SRC_SIZE_WRONG)
-    norm, max_sv, table_log, used = fse_read_ncount(csrc, FSEU16_MAX_SYMBOL_VALUE)
+    norm, max_sv, table_log, used = fse_read_ncount(csrc, max_symbol_value)
     if table_log > FSEU16_MAX_TABLELOG:
         raise FSEError(TABLELOG_TOO_LARGE)
     dt = build_dtable(norm, max_sv, table_log)
