@@ -229,7 +229,8 @@ def _turbo_main(args, verbosity: int) -> int:
         dst = _default_out(args, True, TURBO_EXTENSION)
         if not args.test and _refuse_overwrite(dst, args.force):
             return 1
-        out = turbo_decompress_device(data, interpret=interpret)
+        out = turbo_decompress_device(data, interpret=interpret,
+                                      mesh=args.mesh)
         if not args.test:
             _write_output(dst, out)
         if verbosity >= 2:
@@ -242,7 +243,8 @@ def _turbo_main(args, verbosity: int) -> int:
         kw = {"table_log": args.table_log} if args.table_log else {}
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
                                      interpret=interpret,
-                                     steptots=not args.ratio, **kw)
+                                     steptots=not args.ratio,
+                                     mesh=args.mesh, **kw)
         _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)

@@ -20,13 +20,32 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _pad_batch(arrs, m: int):
+    """Pad each array's leading dim to a multiple of m by repeating row 0
+    (dummy blocks decode to garbage that callers slice away)."""
+    B = arrs[0].shape[0]
+    pad = (-B) % m
+    if pad == 0:
+        return arrs
+    return [np.concatenate([a, np.repeat(a[:1], pad, axis=0)]) for a in arrs]
+
+
 class FseTpuCodec:
-    """Batched FSE coder. `mesh` > 0 shards the block batch data-parallel."""
+    """Batched FSE coder. `mesh` > 1 shards the block batch data-parallel
+    over that many devices (parallel/dp.py; falls back single-device with a
+    warning when fewer devices are attached)."""
 
     def __init__(self, block_size: int = 32768, mesh: int = 0):
         self.block_size = block_size
         self.mesh = mesh
         self._jax = None
+
+    def _get_mesh(self):
+        if self.mesh and self.mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            return get_mesh(self.mesh)
+        return None
 
     def _ensure_jax(self):
         if self._jax is None:
@@ -83,12 +102,24 @@ class FseTpuCodec:
                 ns[k] = len(b)
 
             out_bytes = _round_up(fse_blockbound(self.block_size), 8)
-            norms_j = jnp.asarray(norms)
-            tlogs_j = jnp.asarray(tlogs)
-            ctables = fse_tables.build_ctables(norms_j, tlogs_j)
-            words, csize = self._encode(src, ns, tlogs_j, ctables, S, out_bytes)
-            words = np.asarray(words)
-            csize = np.asarray(csize)
+            mesh = self._get_mesh()
+            if mesh is not None:
+                from ..parallel.dp import sharded_encode
+
+                m = mesh.devices.size
+                srcp, nsp, normsp, tlogsp = _pad_batch(
+                    [src, ns, norms, tlogs], m)
+                step = sharded_encode(mesh, S, out_bytes)
+                words, csize, _total = step(
+                    jnp.asarray(srcp), jnp.asarray(nsp),
+                    jnp.asarray(normsp), jnp.asarray(tlogsp))
+            else:
+                norms_j = jnp.asarray(norms)
+                tlogs_j = jnp.asarray(tlogs)
+                ctables = fse_tables.build_ctables(norms_j, tlogs_j)
+                words, csize = self._encode(src, ns, tlogs_j, ctables, S, out_bytes)
+            words = np.asarray(words)[:B]
+            csize = np.asarray(csize)[:B]
             for k, (i, b, _norm, _tlog, hdr) in enumerate(todo):
                 payload = words[k].astype("<u4").tobytes()[: csize[k]]
                 if csize[k] == 0 or len(hdr) + len(payload) >= len(b) - 1:
@@ -129,14 +160,26 @@ class FseTpuCodec:
             csize[k] = len(body)
             nout[k] = rsize
 
-        tlogs_j = jnp.asarray(tlogs)
-        dtables = fse_tables.build_dtables(jnp.asarray(norms), tlogs_j)
-        out, err = fse_kernels.fse_decode_batch(
-            jnp.asarray(streams), jnp.asarray(csize), jnp.asarray(nout), tlogs_j,
-            dtables[:3], max_out=max_out,
-        )
-        out = np.asarray(out)
-        err = np.asarray(err)
+        mesh = self._get_mesh()
+        if mesh is not None:
+            from ..parallel.dp import sharded_decode
+
+            m = mesh.devices.size
+            streamsp, csizep, noutp, normsp, tlogsp = _pad_batch(
+                [streams, csize, nout, norms, tlogs], m)
+            step = sharded_decode(mesh, max_out)
+            out, err = step(jnp.asarray(streamsp), jnp.asarray(csizep),
+                            jnp.asarray(noutp), jnp.asarray(normsp),
+                            jnp.asarray(tlogsp))
+        else:
+            tlogs_j = jnp.asarray(tlogs)
+            dtables = fse_tables.build_dtables(jnp.asarray(norms), tlogs_j)
+            out, err = fse_kernels.fse_decode_batch(
+                jnp.asarray(streams), jnp.asarray(csize), jnp.asarray(nout), tlogs_j,
+                dtables[:3], max_out=max_out,
+            )
+        out = np.asarray(out)[:B]
+        err = np.asarray(err)[:B]
         res = []
         for k, (_payload, rsize) in enumerate(items):
             if err[k]:

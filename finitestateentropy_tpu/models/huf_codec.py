@@ -27,10 +27,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 class HufTpuCodec:
+    """Batched Huff0 coder. `mesh` > 1 shards the block batch data-parallel
+    over that many devices (parallel/dp.py)."""
+
     def __init__(self, block_size: int = 32768, mesh: int = 0):
         self.block_size = block_size
         self.mesh = mesh
         self._jax = None
+
+    def _get_mesh(self):
+        if self.mesh and self.mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            return get_mesh(self.mesh)
+        return None
 
     def _ensure_jax(self):
         if self._jax is None:
@@ -86,12 +96,23 @@ class HufTpuCodec:
                 ns[k] = len(b)
                 vals[k] = val
                 nbs[k] = nb
-            words, sizes = huf_kernels.huf_encode_4x_batch(
-                jnp.asarray(src), jnp.asarray(ns), jnp.asarray(vals), jnp.asarray(nbs),
-                S, seg_bytes,
-            )
-            words = np.asarray(words)
-            sizes = np.asarray(sizes)
+            mesh = self._get_mesh()
+            if mesh is not None:
+                from .fse_codec import _pad_batch
+                from ..parallel.dp import sharded_huf_encode
+
+                srcp, nsp, valsp, nbsp = _pad_batch(
+                    [src, ns, vals, nbs], mesh.devices.size)
+                step = sharded_huf_encode(mesh, S, seg_bytes)
+                words, sizes = step(jnp.asarray(srcp), jnp.asarray(nsp),
+                                    jnp.asarray(valsp), jnp.asarray(nbsp))
+            else:
+                words, sizes = huf_kernels.huf_encode_4x_batch(
+                    jnp.asarray(src), jnp.asarray(ns), jnp.asarray(vals), jnp.asarray(nbs),
+                    S, seg_bytes,
+                )
+            words = np.asarray(words)[:B]
+            sizes = np.asarray(sizes)[:B]
             for k, (i, b, header, _v, _nb) in enumerate(todo):
                 s = sizes[k]
                 if np.any(s == 0) or s[0] > 65535 or s[1] > 65535 or s[2] > 65535:
@@ -152,17 +173,36 @@ class HufTpuCodec:
             weights[k, : len(w)] = np.frombuffer(w, dtype=np.uint8)
 
         # device: tables per block, replicated x4 for the stream axis
-        wj = jnp.asarray(weights)
-        tl_blocks = jnp.asarray(tlogs.reshape(B, 4)[:, 0])
-        byte_tbl, nb_tbl = huf_kernels.build_dtables_x1(wj, tl_blocks)
-        byte4 = jnp.repeat(byte_tbl, 4, axis=0)
-        nb4 = jnp.repeat(nb_tbl, 4, axis=0)
-        out, err = huf_kernels.huf_decode_4x1_batch(
-            jnp.asarray(streams), jnp.asarray(csize), jnp.asarray(nout),
-            jnp.asarray(tlogs), (byte4, nb4), max_seg=seg_cap,
-        )
-        out = np.asarray(out)
-        err = np.asarray(err)
+        mesh = self._get_mesh()
+        if mesh is not None:
+            from .fse_codec import _pad_batch
+            from ..parallel.dp import sharded_huf_decode
+
+            m = mesh.devices.size
+            # pad the block dim to the mesh (stream rows pad 4-at-a-time so
+            # each dummy block carries its 4 streams)
+            weightsp, = _pad_batch([weights], m)
+            Bp = weightsp.shape[0]
+            rep4 = (lambda a: np.concatenate(
+                [a, np.tile(a[:4], (Bp - B,) + (1,) * (a.ndim - 1))])
+                if Bp > B else a)
+            step = sharded_huf_decode(mesh, seg_cap)
+            out, err = step(jnp.asarray(rep4(streams)), jnp.asarray(rep4(csize)),
+                            jnp.asarray(rep4(nout)), jnp.asarray(rep4(tlogs)),
+                            jnp.asarray(weightsp),
+                            jnp.asarray(np.resize(tlogs.reshape(B, 4)[:, 0], Bp)))
+        else:
+            wj = jnp.asarray(weights)
+            tl_blocks = jnp.asarray(tlogs.reshape(B, 4)[:, 0])
+            byte_tbl, nb_tbl = huf_kernels.build_dtables_x1(wj, tl_blocks)
+            byte4 = jnp.repeat(byte_tbl, 4, axis=0)
+            nb4 = jnp.repeat(nb_tbl, 4, axis=0)
+            out, err = huf_kernels.huf_decode_4x1_batch(
+                jnp.asarray(streams), jnp.asarray(csize), jnp.asarray(nout),
+                jnp.asarray(tlogs), (byte4, nb4), max_seg=seg_cap,
+            )
+        out = np.asarray(out)[: 4 * B]
+        err = np.asarray(err)[: 4 * B]
         res = []
         for k, (_payload, rsize) in enumerate(items):
             if err[4 * k : 4 * k + 4].any():

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import fse_kernels, fse_tables
+from ..ops import fse_kernels, fse_tables, huf_kernels
 
 
 def _dp(mesh: Mesh):
@@ -60,6 +60,38 @@ def sharded_decode(mesh: Mesh, max_out: int):
             streams, csize, n, tlog, dt[:3], max_out=max_out
         )
         return out, err
+
+    return step
+
+
+def sharded_huf_encode(mesh: Mesh, max_syms: int, seg_bytes: int):
+    """(src[B,S], n[B], val[B,256], nb[B,256]) sharded over dp ->
+    (words[B,4,W], sizes[B,4]).  B must be a multiple of the mesh size."""
+    dp = _dp(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(dp, dp, dp, dp),
+                       out_shardings=(dp, dp))
+    def step(src, n, val, nb):
+        return huf_kernels.huf_encode_4x_batch(src, n, val, nb,
+                                               max_syms, seg_bytes)
+
+    return step
+
+
+def sharded_huf_decode(mesh: Mesh, max_seg: int):
+    """(streams[4B,S], csize[4B], nout[4B], tlogs[4B], weights[B,256],
+    tl_blocks[B]) -> (out[4B,max_seg], err[4B]).  The per-block X1 tables
+    build inside the jit so they shard with their streams."""
+    dp = _dp(mesh)
+
+    @functools.partial(jax.jit, in_shardings=(dp, dp, dp, dp, dp, dp),
+                       out_shardings=(dp, dp))
+    def step(streams, csize, nout, tlogs, weights, tl_blocks):
+        byte_tbl, nb_tbl = huf_kernels.build_dtables_x1(weights, tl_blocks)
+        byte4 = jnp.repeat(byte_tbl, 4, axis=0)
+        nb4 = jnp.repeat(nb_tbl, 4, axis=0)
+        return huf_kernels.huf_decode_4x1_batch(
+            streams, csize, nout, tlogs, (byte4, nb4), max_seg=max_seg)
 
     return step
 

@@ -29,3 +29,20 @@ def make_mesh_2level(n_hosts: int, per_host: int) -> Mesh:
     """(dcn, ici) mesh for multi-host runs."""
     devs = np.array(jax.devices()[: n_hosts * per_host]).reshape(n_hosts, per_host)
     return Mesh(devs, ("dcn", "ici"))
+
+
+def get_mesh(n: int) -> Mesh | None:
+    """Mesh for a user-requested data-parallel width, or None for 1-device.
+
+    n <= 1 or fewer attached devices than requested -> None (callers fall
+    back to the single-device path, matching the CLI --mesh contract)."""
+    if n <= 1:
+        return None
+    avail = device_count()
+    if avail < n:
+        import warnings
+
+        warnings.warn(f"--mesh {n} requested but only {avail} device(s) "
+                      f"attached; running single-device")
+        return None
+    return make_mesh(n)

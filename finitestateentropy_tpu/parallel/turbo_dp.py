@@ -20,18 +20,18 @@ try:  # jax >= 0.7 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from ..turbo.rans_kernels import rans_decode, rans_encode
+from ..turbo.rans_kernels import rans_decode, rans_decode_v2, rans_encode
 
 
 def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
-                         interpret: bool = False):
+                         interpret: bool = False, tlog: int = 11):
     """(fc[G,2,128], mg[G,2,128], srcw[G,t4*8,128]) sharded over dp ->
     (stream, final_states, csize_hw sharded; total_hw replicated)."""
 
     def local(fc, mg, srcw):
         stream, fin, csize, _ = rans_encode(fc, mg, srcw, t4_count,
                                             hrows_cap, interpret,
-                                            False, 11, False)
+                                            False, tlog, False)
         total = jax.lax.psum(jnp.sum(csize), "dp")
         return stream, fin, csize, total
 
@@ -43,18 +43,83 @@ def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
 
 
 def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
-                         interpret: bool = False):
+                         interpret: bool = False, tlog: int = 11):
     """(csize[G], tbl[G,16,128], init[G,8,128], hws[G,hrows,128]) ->
     (out sharded, err sharded, any_err replicated)."""
 
     def local(cs, tbl, init, hws):
-        out, err = rans_decode(cs, tbl, init, hws, t4_count, hrows, interpret)
+        out, err = rans_decode(cs, tbl, init, hws, t4_count, hrows, interpret,
+                               False, tlog)
         any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
         return out, err, any_err
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
                    out_specs=(P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_encode_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
+                            interpret: bool = False, tlog: int = 11):
+    """Production speed-mode encode (FLAG_STEPTOTS wire) sharded over dp:
+    (fc, mg, srcw) -> (stream, final_states, csize_hw, steptots sharded;
+    total_hw replicated)."""
+
+    def local(fc, mg, srcw):
+        stream, fin, csize, stots = rans_encode(fc, mg, srcw, t4_count,
+                                                hrows_cap, interpret,
+                                                False, tlog, True)
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return stream, fin, csize, stots, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_decode_v2(mesh: Mesh, t4_count: int, hrows: int,
+                            interpret: bool = False, tlog: int = 11):
+    """Production v2 decode (shipped steptots) sharded over dp:
+    (csize, tbl, init, hws, steptots) -> (out sharded, err sharded,
+    any_err replicated)."""
+
+    def local(cs, tbl, init, hws, stots):
+        out, err = rans_decode_v2(cs, tbl, init, hws, stots, t4_count, hrows,
+                                  interpret, tlog)
+        any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
+        return out, err, any_err
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_roundtrip_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
+                               interpret: bool = False, tlog: int = 11):
+    """Speed-mode round-trip over the mesh — the multi-chip dry-run payload
+    for the production (FLAG_STEPTOTS + v2 kernel) path: encode emits
+    per-step renorm counts, decode consumes them via the fused-rank v2
+    kernel.  Returns (ok replicated, total_hw replicated)."""
+
+    def local(fc, mg, srcw, dtbl):
+        stream, fin, csize, stots = rans_encode(fc, mg, srcw, t4_count,
+                                                hrows_cap, interpret,
+                                                False, tlog, True)
+        out, err = rans_decode_v2(csize, dtbl, fin, stream, stots,
+                                  t4_count, hrows_cap, interpret, tlog)
+        ok = jnp.all(out == srcw) & jnp.all(err == 0)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "dp")
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return ok, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P(), P()),
                    check_vma=False)
     return jax.jit(fn)
 

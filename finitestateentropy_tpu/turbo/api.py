@@ -60,14 +60,26 @@ def prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
     return _prep_group(chunk, table_log)
 
 
+def _pad_groups(arrs, m: int):
+    """Pad leading group dim to a multiple of m (dup of last group)."""
+    G = arrs[0].shape[0]
+    pad = (-G) % m
+    if pad == 0:
+        return arrs
+    return [np.concatenate([a] + [a[-1:]] * pad, axis=0) for a in arrs]
+
+
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
                           table_log: int = RANS_TABLELOG,
-                          steptots: bool = True) -> bytes:
+                          steptots: bool = True, mesh: int = 0) -> bytes:
     """Compress with the TurboRANS Pallas encode kernel.
 
     steptots=True (speed mode) ships per-step renorm counts (+~0.8% of the
-    RAW size) enabling the faster v2 decode kernel; False = best ratio."""
+    RAW size) enabling the faster v2 decode kernel; False = best ratio.
+    mesh > 1 shards group batches data-parallel over that many devices
+    (the reference's block-independence seam, fileio.c:292, at group
+    granularity)."""
     import jax.numpy as jnp
 
     if group_size > DEFAULT_GROUP:
@@ -110,9 +122,32 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             pad = np.full(n_pad, mfs, np.uint8)
             pad[: len(ch)] = ch
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
-        stream, fin, csize, stots = rans_encode(
-            jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
-            interpret, False, table_log, steptots)
+        mesh_obj = None
+        if mesh and mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            mesh_obj = get_mesh(mesh)
+        if mesh_obj is not None:
+            from ..parallel.turbo_dp import (sharded_turbo_encode,
+                                             sharded_turbo_encode_v2)
+
+            m = mesh_obj.devices.size
+            fcp, mgp, srcwp = _pad_groups([fc, mg, srcw], m)
+            if steptots:
+                step = sharded_turbo_encode_v2(mesh_obj, t4, hcap, interpret,
+                                               table_log)
+                stream, fin, csize, stots, _tot = step(
+                    jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
+            else:
+                step = sharded_turbo_encode(mesh_obj, t4, hcap, interpret,
+                                            table_log)
+                stream, fin, csize, _tot = step(
+                    jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
+                stots = None
+        else:
+            stream, fin, csize, stots = rans_encode(
+                jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
+                interpret, False, table_log, steptots)
         stream = np.asarray(stream)
         fin = np.asarray(fin)
         csize = np.asarray(csize)
@@ -141,8 +176,11 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     return bytes(out)
 
 
-def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
-    """Decompress a TurboRANS stream with the Pallas decode kernel."""
+def turbo_decompress_device(blob: bytes, interpret: bool = False,
+                            mesh: int = 0) -> bytes:
+    """Decompress a TurboRANS stream with the Pallas decode kernel.
+
+    mesh > 1 shards group batches data-parallel (see turbo_compress_device)."""
     import jax.numpy as jnp
 
     groups = []
@@ -190,7 +228,32 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False) -> bytes:
                 have_tots = False
             else:
                 tots[j] = stots
-        if have_tots:
+        mesh_obj = None
+        if mesh and mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            mesh_obj = get_mesh(mesh)
+        if mesh_obj is not None:
+            from ..parallel.turbo_dp import (sharded_turbo_decode,
+                                             sharded_turbo_decode_v2)
+
+            m = mesh_obj.devices.size
+            if have_tots:
+                csp, tblp, initp, hwsp, totsp = _pad_groups(
+                    [cs, tbl, init, hws, tots], m)
+                step = sharded_turbo_decode_v2(mesh_obj, t4, hrows,
+                                               interpret, tlog)
+                outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
+                                       jnp.asarray(initp), jnp.asarray(hwsp),
+                                       jnp.asarray(totsp))
+            else:
+                csp, tblp, initp, hwsp = _pad_groups([cs, tbl, init, hws], m)
+                step = sharded_turbo_decode(mesh_obj, t4, hrows,
+                                            interpret, tlog)
+                outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
+                                       jnp.asarray(initp), jnp.asarray(hwsp))
+            err = np.asarray(err)[:G]
+        elif have_tots:
             outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
                                        jnp.asarray(init), jnp.asarray(hws),
                                        jnp.asarray(tots), t4, hrows,
