@@ -445,11 +445,18 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
-                           out_ref, *, t4_count, hrows, nway, u16=False,
+                           out_ref, *, t4_count, srows, nway, u16=False,
                            tlog=RANS_TABLELOG):
     """N independent groups per kernel instance: their chains interleave,
-    hiding each other's lookup/gather/matmul latencies (4-way measured
-    ~3x one group; VMEM limits pick nway)."""
+    hiding each other's lookup/gather/matmul latencies (6-way measured
+    ~2.1x one-way; VMEM limits pick nway).
+
+    Round-2 upgrades (probe_decode_v3 measurements, same wire):
+    * stream halfwords packed 2-per-word: the renorm window gather needs 5
+      row-chunks instead of 9 and the stream block halves in VMEM;
+    * cursor scalars at [row t4, lane pp] (pp static per unrolled step):
+      the cursor array shrinks 4x (2x u16), buying interleave width.
+    Together: 5.7 -> 12.0 GB/s Proba80 on the v5e."""
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
@@ -466,7 +473,8 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
     roff_rows = roff_ref.shape[0] // nway
     cur_rows = cur_ref.shape[0] // nway
 
-    def step(x, t, gg):
+    def step(x, t4, pp, gg):
+        t = spc * t4 + pp
         slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
@@ -495,17 +503,22 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         rank = jax.lax.dot_general(
             lhs, rhs, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
-        cursor = cur_ref[gg * cur_rows + t, 0]
-        pos = cursor - rank
+        cursor = cur_ref[gg * cur_rows + t4, pp]
+        pos = cursor - rank          # halfword position
+        wpos = _srl(pos, 1)
+        parity = pos & 1
+        # packed window: rows [base, base+5) of 128 words always contain
+        # the word span of [cursor-1024, cursor) halfwords
         base_row = jnp.clip(
-            _srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16) + gg * hrows
-        rel = jnp.clip(pos - (base_row - gg * hrows) * 128, 0, 2047)
-        hi = _srl(rel, 7)
-        lo = rel & 127
-        v = jnp.zeros(shape, jnp.int32)
-        for h in range(9):
+            _srl(jnp.maximum(cursor - 1024, 0), 8), 0, srows - 8) + gg * srows
+        relw = jnp.clip(wpos - (base_row - gg * srows) * 128, 0, 639)
+        hi = _srl(relw, 7)
+        lo = relw & 127
+        v32 = jnp.zeros(shape, jnp.int32)
+        for h in range(5):
             row = jnp.broadcast_to(stream_ref[pl.ds(base_row + h, 1), :], shape)
-            v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
+            v32 = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v32)
+        v = jnp.where(parity == 1, _srl(v32, 16), v32) & 0xFFFF
         return sym, jnp.where(flag, _sll(x, 16) | v, x)
 
     def body(t4, xs):
@@ -513,7 +526,7 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         syms = [[] for _ in range(nway)]
         for pp in range(spc):
             for gg in range(nway):
-                sg, xs[gg] = step(xs[gg], spc * t4 + pp, gg)
+                sg, xs[gg] = step(xs[gg], t4, pp, gg)
                 syms[gg].append(sg)
         for gg in range(nway):
             sa = syms[gg]
@@ -530,9 +543,13 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
-def _pick_nway(per_group_bytes: int, budget: int = 14 * 2**20) -> int:
-    """Widest interleave whose double-buffered blocks fit the VMEM budget."""
-    for nway in (4, 2):
+def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
+    """Widest interleave whose double-buffered blocks fit the VMEM budget.
+
+    6-way at ~1.4 MiB/group compiles and is the measured throughput peak on
+    the v5e (probe_decode_v3: 4-way 9.9, 6-way 12.0, 8-way fails/regresses);
+    1-way still fits groups up to ~4 MiB (host encoders have no VMEM cap)."""
+    for nway in (6, 4, 2):
         if 2 * nway * per_group_bytes < budget:
             return nway
     return 1
@@ -549,14 +566,15 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     steptots (total != csize)."""
     G0 = tables.shape[0]
     T = steptots.shape[1]
+    spc = 2 if u16 else 4
     rows_per = t4_count * 8 + 8
     tch = tables.shape[1]
     r8 = ((T + 127) // 128) * 8
-    rc = ((T + 7) // 8) * 8
+    rc = ((t4_count + 7) // 8) * 8
+    srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
 
-    # pick the interleave width by the double-buffered VMEM budget; 1-way
-    # still fits groups up to ~2 MiB (host encoders have no VMEM bound)
-    per_group = (hrows + rows_per + rc + r8 + tch + 8) * 512
+    # pick the interleave width by the double-buffered VMEM budget
+    per_group = (srows + rows_per + rc + r8 + tch + 8) * 512
     nway = _pick_nway(per_group)
     pad = (-G0) % nway
     if pad:
@@ -576,19 +594,26 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     roff = (ro.reshape(G, tpad // 128, 128, 8)
             .transpose(0, 1, 3, 2)
             .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
-    # cursors: column-0 array (traced row, static lane scalar reads)
-    curs = jnp.zeros((G, rc, 128), jnp.int32).at[:, :T, 0].set(
-        cursors.astype(jnp.int32))
+    # cursor scalars: step t = spc*t4 + pp lives at [row t4, lane pp] (lane
+    # is static per unrolled step; traced rows are fine for scalar reads)
+    curs = jnp.zeros((G, rc, 128), jnp.int32).at[:, :t4_count, :spc].set(
+        cursors.reshape(G, t4_count, spc).astype(jnp.int32))
+
+    # pack stream halfwords 2-per-word (little-endian pair order)
+    hw = streams.reshape(G, hrows * 128)
+    npairs = hrows * 128 // 2
+    packed = (hw[:, 0::2] | _sll(hw[:, 1::2], 16))[:, :npairs]
+    pk = jnp.zeros((G, srows * 128), jnp.int32).at[:, :npairs].set(packed)
 
     kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
-                             hrows=hrows, nway=nway, u16=u16, tlog=tlog)
+                             srows=srows, nway=nway, u16=u16, tlog=tlog)
     out = pl.pallas_call(
         kern,
         grid=(G // nway,),
         in_specs=[
             pl.BlockSpec((nway, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nway, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nway * hrows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway * srows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
@@ -596,7 +621,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * rows_per, 128), jnp.int32),
         interpret=interpret,
-    )(tables, init_states, streams.reshape(G * hrows, 128),
+    )(tables, init_states, pk.reshape(G * srows, 128),
       roff.reshape(G * r8, 128), curs.reshape(G * rc, 128))
     out = out.reshape(G, rows_per, 128)
     err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))

@@ -218,9 +218,10 @@ def test_nway_selection_and_group_size_guard():
     from finitestateentropy_tpu.turbo.rans_kernels import _pick_nway
 
     mib = 1 << 20
-    assert _pick_nway(1 * mib) == 4       # typical 1 MiB group
+    assert _pick_nway(1 * mib) == 6       # typical 1 MiB group (r2 budget)
+    assert _pick_nway(2 * mib) == 4
     assert _pick_nway(3 * mib) == 2
-    assert _pick_nway(4 * mib) == 1       # ~2 MiB host-encoded group
+    assert _pick_nway(5 * mib) == 1       # big host-encoded group
     with pytest.raises(ValueError, match="VMEM"):
         turbo_compress_device(b"x" * 100, group_size=2 * mib)
 
