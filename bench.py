@@ -91,6 +91,7 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
                          lambda x: np.asarray(x))
     enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
     hw, fin, cs, stots0 = enc_out[g_big]
+    # default wire: 8 B/step row counts + 4 KiB init states + header/ncount
     ratio = group_bytes / (cs * 2 + 4096 + t4 * 32 + 64)
     log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
         f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
@@ -120,6 +121,53 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s  "
         f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
     return dec_gbps, enc_gbps, ratio
+
+
+def bench_group_sweep():
+    """Ratio/speed tradeoff across group sizes (p80): bigger groups
+    amortize the 4 KiB init-state section; the reference single-stream
+    ratio (8.84) is matched by the byte-exact compat layer, while the
+    1024-lane turbo format pays ~0.5% parallelism tax at 4 MiB."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
+                                                           rans_encode2)
+
+    for mb, g_small, g_big in ((2, 2, 8), (4, 2, 6)):
+        p = _prep(mb << 20, 80)
+        fc, mg = p["fc_mg"]
+        t4, hcap = p["t4"], p["hcap"]
+        a = (jnp.asarray(np.broadcast_to(fc, (g_big, 2, 128)).copy()),
+             jnp.asarray(np.broadcast_to(mg, (g_big, 2, 128)).copy()),
+             jnp.asarray(np.broadcast_to(p["srcw"], (g_big, t4 * 8, 128)).copy()))
+        stream, fin, csize, stots = rans_encode2(*a, t4, hcap)
+        cs = int(np.asarray(csize)[0])
+        rows_bytes = cs * 2 + 4096 + t4 * 32 + 64
+        totals_bytes = cs * 2 + 4096 + t4 * 8 + 64
+        ratio_bytes = cs * 2 + 4096 + 64
+        hrows = p["round8"]((cs + 127) // 128 + 16)
+        hw = np.asarray(stream)[0].reshape(-1)[:cs]
+        totals0 = np.asarray(stots)[0].sum(axis=1).astype(np.int32)
+        dt = {}
+        for G in (g_small, g_big):
+            hws = np.zeros((G, hrows, 128), np.int32)
+            hws.reshape(G, -1)[:, :cs] = hw
+            args = (jnp.asarray(np.full(G, cs, np.int32)),
+                    jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+                    jnp.asarray(np.broadcast_to(
+                        np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
+                    jnp.asarray(hws),
+                    jnp.asarray(np.broadcast_to(totals0, (G,) + totals0.shape).copy()))
+            outw, err = rans_decode_v2(*args, t4, hrows)
+            if G == g_small:
+                assert not np.asarray(err).any()
+            dt[G] = _time(lambda a2=args: rans_decode_v2(*a2, t4, hrows)[1],
+                          lambda x: np.asarray(x))
+        dec = (g_big - g_small) * (mb << 20) / (dt[g_big] - dt[g_small]) / 1e9
+        log(f"p80 {mb}MiB groups: decode {dec:6.3f} GB/s (totals wire)  "
+            f"ratios rows {(mb << 20) / rows_bytes:.2f} / "
+            f"totals {(mb << 20) / totals_bytes:.2f} / "
+            f"none {(mb << 20) / ratio_bytes:.2f}")
 
 
 def bench_rans16(n_syms: int, g_small: int, g_big: int):
@@ -279,6 +327,10 @@ def main():
             bench_mixed(args.gsmall // 2, args.gbig // 2)
         except Exception as e:
             log("mixed bench failed:", e)
+        try:
+            bench_group_sweep()
+        except Exception as e:
+            log("group sweep failed:", e)
         log("config map: FSE/Huff0 workload classes -> TurboRANS (see "
             "PERFORMANCE.md; compat twins cover wire parity, not speed)")
         try:

@@ -1,19 +1,31 @@
 """Per-stage micro-benchmarks — the reference's `fullbench` binary
-(programs/fullbench.c), keeping its stage numbering where the stage exists:
+(programs/fullbench.c:758-1237), same stage numbering:
 
-  1  HIST_count                      11 FSE_readNCount
-  4  FSE_normalizeCount              12 FSE_buildDTable
-  5  FSE_writeNCount                 13 FSE_decompress_usingDTable
-  6  FSE_buildCTable                 20 HUF_buildCTable
-  7  FSE_compress_usingCTable        21 HUF_writeCTable
-                                     30 HUF_decompress4X1
-                                     32 HUF_decompress4X2
+  1  HIST_count(255)          20 HUF_compress             40 HUF_decompress4X1
+  2  HIST_count(254)          21 HUF_buildCTable          41 HUF_readDTableX1
+  3  HIST_countFast(254)      22 HUF_writeCTable          42 HUF_decompress4X1_usingDTable
+  4  FSE_normalizeCount       23 HUF_compress4x_usingCT   45 HUF_decompress1X1
+  5  FSE_writeNCount          25 HUF_readCTable           46 HUF_decompress1X1_usingDTable
+  6  FSE_buildCTable          30 HUF_decompress           50 HUF_decompress4X2
+  7  FSE_compress_usingCT     31 HUF_readStats            51 HUF_readDTableX2
+  8  ..._smallDst             32 HUF_readDTable           52 HUF_decompress4X2_usingDTable
+  9  FSE_compress             33 HUF_decompress_usingDT   55 HUF_decompress1X2
+  11 FSE_readNCount                                       56 HUF_decompress1X2_usingDTable
+  12 FSE_buildDTable          70 FSE_buildCTable_raw(6)
+  13 FSE_decompress_usingDT   80 FSE_buildDTable(10)
+  14 FSE_decompress           81 FSE_buildDTable(9)
+                              82 FSE_buildDTable_raw(6)
 
-TPU turbo stages (ours, numbered 100+ like fullbench's experimental range):
+bmi2 variants (24/43/47/53/57) and the experimental C histogram strategies
+(100-107) are CPU-ISA experiments with no TPU analogue — not ported.
 
-  100 turbo-rans encode kernel          102 rans table pack (host)
-  101 turbo-rans decode kernel (v1)     103 group prep (hist+norm+ncount)
-  104 turbo-rans decode kernel (v2, the default path)
+TPU-native stages (ours):
+
+  200 turbo-rans encode kernel          202 rans table pack (host)
+  201 turbo-rans decode kernel (v1)     203 group prep (hist+norm+ncount)
+  204 turbo-rans decode kernel (v2, the default path)
+  210 device fse_encode_batch           212 device huf_encode_4x_batch
+  211 device fse_decode_batch           213 device huf_decode_4x1_batch
 
 Usage: python -m finitestateentropy_tpu.benchmarks.fullbench [stage ...]
 """
@@ -41,11 +53,13 @@ def _calibrated(fn, payload_bytes, min_time=0.25):
 
 
 def _stages():
+    from ..errors import FSEError
     from ..refimpl import fse, huf
     from ..refimpl.hist import hist_count
     from ..refimpl.ncount import fse_read_ncount, fse_write_ncount
     from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
-    from ..refimpl.tables import build_ctable, build_dtable
+    from ..refimpl.tables import (build_ctable, build_ctable_raw,
+                                  build_dtable, build_dtable_raw)
 
     data = generate_proba(P_DEFAULT)[:65536]
     src = np.frombuffer(data, np.uint8)
@@ -58,28 +72,95 @@ def _stages():
     dt = build_dtable(norm, max_sv, tlog)
     payload = fse.fse_compress_using_ctable(data, ct)
     hct = huf.huf_build_ctable(count, max_sv)
+    hdr = huf.huf_write_ctable(hct, max_sv)
     hblob = huf.huf_compress(data)
+    # smaller counts for the tiny-table builds (reference uses tableLog 6/9/10)
+    norm10, _ = fse_normalize_count(10, count[: max_sv + 1], n, max_sv)
+    norm9, _ = fse_normalize_count(9, count[: max_sv + 1], n, max_sv)
+
+    def small_dst():
+        # reference local_FSE_compress_usingCTable_tooSmall: dst = src/2
+        try:
+            return fse.fse_compress_using_ctable(data, ct, dst_capacity=n // 2)
+        except FSEError:
+            return b""
 
     stages = {
-        1: ("HIST_count", lambda: hist_count(src, 255), n),
+        1: ("HIST_count(255)", lambda: hist_count(src, 255), n),
+        2: ("HIST_count(254)", lambda: hist_count(src, 254), n),
+        # the twin has one (trusted) counting path; countFast == count here
+        3: ("HIST_countFast(254)", lambda: hist_count(src, 254), n),
         4: ("FSE_normalizeCount",
             lambda: fse_normalize_count(tlog, count[: max_sv + 1], n, max_sv), n),
         5: ("FSE_writeNCount", lambda: fse_write_ncount(norm, max_sv, tlog), n),
         6: ("FSE_buildCTable", lambda: build_ctable(norm, max_sv, tlog), n),
         7: ("FSE_compress_usingCTable",
             lambda: fse.fse_compress_using_ctable(data, ct), n),
+        8: ("FSE_compress_usingCTable_smallDst", small_dst, n),
+        9: ("FSE_compress", lambda: fse.fse_compress(data), n),
         11: ("FSE_readNCount", lambda: fse_read_ncount(nc + b"\0" * 8), n),
         12: ("FSE_buildDTable", lambda: build_dtable(norm, max_sv, tlog), n),
         13: ("FSE_decompress_usingDTable",
              lambda: fse.fse_decompress_using_dtable(payload, dt, n), n),
-        20: ("HUF_buildCTable", lambda: huf.huf_build_ctable(count, max_sv), n),
-        21: ("HUF_writeCTable", lambda: huf.huf_write_ctable(hct, max_sv), n),
+        20: ("HUF_compress", lambda: huf.huf_compress(data), n),
+        21: ("HUF_buildCTable", lambda: huf.huf_build_ctable(count, max_sv), n),
+        22: ("HUF_writeCTable", lambda: huf.huf_write_ctable(hct, max_sv), n),
+        23: ("HUF_compress4x_usingCTable",
+             lambda: huf.huf_compress_4x_using_ctable(data, hct, 2 * n), n),
+        25: ("HUF_readCTable", lambda: huf.huf_read_ctable(hdr), n),
+        31: ("HUF_readStats", lambda: huf.huf_read_stats(hdr), n),
+        70: ("FSE_buildCTable_raw(6)", lambda: build_ctable_raw(6), n),
+        80: ("FSE_buildDTable(10)",
+             lambda: build_dtable(norm10, max_sv, 10), n),
+        81: ("FSE_buildDTable(9)", lambda: build_dtable(norm9, max_sv, 9), n),
+        82: ("FSE_buildDTable_raw(6)", lambda: build_dtable_raw(6), n),
     }
+    fblob = fse.fse_compress(data)
+    if fblob.kind.name == "COMPRESSED":
+        fb = fblob.data
+        stages[14] = ("FSE_decompress", lambda: fse.fse_decompress(fb, n), n)
     if hblob.kind.name == "COMPRESSED":
-        stages[30] = ("HUF_decompress4X1",
-                      lambda: huf.huf_decompress_4x1(hblob.data, n), n)
-        stages[32] = ("HUF_decompress4X2",
-                      lambda: huf.huf_decompress_4x2(hblob.data, n), n)
+        hb = hblob.data
+        dt1 = huf.huf_read_dtable_x1(hb)[0]
+        dt2 = huf.huf_read_dtable_x2(hb)[0]
+        used1 = huf.huf_read_dtable_x1(hb)[1]
+        used2 = huf.huf_read_dtable_x2(hb)[1]
+        body1, body2 = hb[used1:], hb[used2:]
+        one = huf.huf_compress(data, four_streams=False)
+        stages.update({
+            30: ("HUF_decompress", lambda: huf.huf_decompress(hb, n), n),
+            32: ("HUF_readDTable(X1)",
+                 lambda: huf.huf_read_dtable_x1(hb), n),
+            33: ("HUF_decompress_usingDTable(X1)",
+                 lambda: huf.huf_decompress_4x1_using_dtable(body1, n, dt1), n),
+            40: ("HUF_decompress4X1",
+                 lambda: huf.huf_decompress_4x1(hb, n), n),
+            41: ("HUF_readDTableX1", lambda: huf.huf_read_dtable_x1(hb), n),
+            42: ("HUF_decompress4X1_usingDTable",
+                 lambda: huf.huf_decompress_4x1_using_dtable(body1, n, dt1), n),
+            50: ("HUF_decompress4X2",
+                 lambda: huf.huf_decompress_4x2(hb, n), n),
+            51: ("HUF_readDTableX2", lambda: huf.huf_read_dtable_x2(hb), n),
+            52: ("HUF_decompress4X2_usingDTable",
+                 lambda: huf.huf_decompress_4x2_using_dtable(body2, n, dt2), n),
+        })
+        if one.kind.name == "COMPRESSED":
+            ob = one.data
+            odt1, oused1 = huf.huf_read_dtable_x1(ob)[:2]
+            odt2, oused2 = huf.huf_read_dtable_x2(ob)[:2]
+            obody1, obody2 = ob[oused1:], ob[oused2:]
+            stages.update({
+                45: ("HUF_decompress1X1",
+                     lambda: huf.huf_decompress_1x1(ob, n), n),
+                46: ("HUF_decompress1X1_usingDTable",
+                     lambda: huf.huf_decompress_1x1_using_dtable(
+                         obody1, n, odt1), n),
+                55: ("HUF_decompress1X2",
+                     lambda: huf.huf_decompress_1x2(ob, n), n),
+                56: ("HUF_decompress1X2_usingDTable",
+                     lambda: huf.huf_decompress_1x2_using_dtable(
+                         obody2, n, odt2), n),
+            })
     return stages
 
 
@@ -125,14 +206,43 @@ def _turbo_stages():
 
     total = G * gsz
     return {
-        100: ("turbo_rans_encode (kernel)",
+        200: ("turbo_rans_encode (kernel)",
               lambda: np.asarray(rans_encode(fcb, mgb, srcw, t4, hcap)[2]), total),
-        101: ("turbo_rans_decode (kernel)",
+        201: ("turbo_rans_decode (kernel)",
               lambda: np.asarray(rans_decode(*dargs, t4, hrows)[1]), total),
-        102: ("rans table pack (host)", lambda: pack_rans_dtable(norm), gsz),
-        103: ("group prep (hist+norm+ncount)", lambda: _prep_group(src), gsz),
-        104: ("turbo_rans_decode (kernel, v2)",
+        202: ("rans table pack (host)", lambda: pack_rans_dtable(norm), gsz),
+        203: ("group prep (hist+norm+ncount)", lambda: _prep_group(src), gsz),
+        204: ("turbo_rans_decode (kernel, v2)",
               lambda: np.asarray(rans_decode_v2(*dargs2, t4, hrows)[1]), total),
+    }
+
+
+def _device_compat_stages():
+    """Batched compat (wire-identical) device pipelines — the VERDICT r1
+    ask: a recorded throughput number for every compat device path."""
+    from ..models.fse_codec import FseTpuCodec
+    from ..models.huf_codec import HufTpuCodec
+
+    bs = 32768
+    nblk = 64
+    data = generate_proba(P_DEFAULT)[: bs * nblk]
+    blocks = [data[i: i + bs] for i in range(0, len(data), bs)]
+    fse_c = FseTpuCodec(block_size=bs)
+    huf_c = HufTpuCodec(block_size=bs)
+    fres = fse_c.compress_blocks(blocks)
+    hres = huf_c.compress_blocks(blocks)
+    fitems = [(r.data, bs) for r in fres if r.kind.name == "COMPRESSED"]
+    hitems = [(r.data, bs) for r in hres if r.kind.name == "COMPRESSED"]
+    n = len(data)
+    return {
+        210: ("device fse_encode_batch (compat)",
+              lambda: fse_c.compress_blocks(blocks), n),
+        211: ("device fse_decode_batch (compat)",
+              lambda: fse_c.decompress_blocks(fitems), bs * len(fitems)),
+        212: ("device huf_encode_4x_batch (compat)",
+              lambda: huf_c.compress_blocks(blocks), n),
+        213: ("device huf_decode_4x1_batch (compat)",
+              lambda: huf_c.decompress_blocks(hitems), bs * len(hitems)),
     }
 
 
@@ -141,18 +251,19 @@ def main(argv=None) -> int:
     want = [int(a) for a in argv if a.isdigit()] or None
 
     stages = _stages()
-    if want is None or any(w >= 100 for w in want):
+    if want is None or any(w >= 200 for w in want):
         try:
             stages.update(_turbo_stages())
+            stages.update(_device_compat_stages())
         except Exception as e:  # no TPU available etc.
-            print(f"turbo stages unavailable: {e}", file=sys.stderr)
+            print(f"device stages unavailable: {e}", file=sys.stderr)
 
     for num in sorted(stages):
         if want and num not in want:
             continue
         name, fn, payload = stages[num]
         rate = _calibrated(fn, payload)
-        print(f"{num:3d} {name:34s} {rate/1e6:10.1f} MB/s")
+        print(f"{num:3d} {name:38s} {rate/1e6:10.1f} MB/s")
     return 0
 
 

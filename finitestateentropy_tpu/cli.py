@@ -49,7 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-T", "--turbo", action="store_true",
                    help="TPU-native TurboRANS frame format (lane-interleaved)")
     p.add_argument("--ratio", action="store_true",
-                   help="turbo ratio mode (omit the v2 speed section)")
+                   help="turbo ratio mode (omit the speed section; pair "
+                        "with -G 4M for best ratio)")
+    p.add_argument("--sect", choices=["rows", "totals", "none"],
+                   default="rows",
+                   help="turbo speed-section wire: rows = fastest decode "
+                        "(default), totals = 4x smaller section / ~0.4x "
+                        "decode, none = best ratio (same as --ratio)")
     p.add_argument("-G", dest="group", type=str, default="1M",
                    help="turbo group size (K/M suffix)")
     p.add_argument("--device", choices=["host", "tpu", "turbo"], default="host")
@@ -241,9 +247,11 @@ def _turbo_main(args, verbosity: int) -> int:
         if _refuse_overwrite(dst, args.force):
             return 1
         kw = {"table_log": args.table_log} if args.table_log else {}
+        sect = "none" if args.ratio else args.sect
         blob = turbo_compress_device(data, group_size=_parse_bsize(args.group),
                                      interpret=interpret,
-                                     steptots=not args.ratio,
+                                     steptots=sect != "none",
+                                     totals_only=sect == "totals",
                                      mesh=args.mesh, **kw)
         _write_output(dst, blob)
         if verbosity >= 2:

@@ -131,7 +131,8 @@ def _walk_groups(blob: bytes) -> int:
             pos += 20
         else:
             n_pad = (n + 4095) // 4096 * 4096
-            sect = (n_pad // 1024) * 8 if flags & 4 else 0
+            sect = ((n_pad // 1024) * 8 if flags & 4
+                    else (n_pad // 1024) * 2 if flags & 8 else 0)
             pos += 16 + (nc_len + 3) // 4 * 4 + 4096 + sect + 2 * csize_hw
         total += n
     return total

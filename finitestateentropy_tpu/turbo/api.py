@@ -15,12 +15,13 @@ from ..utils.debug import debuglog
 from ..refimpl.ncount import fse_write_ncount
 from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
-from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, RANS_MAGIC,
-                   RANS_TABLELOG, _HDR, parse_rans_group)
+from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, FLAG_TOTALS,
+                   RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
 from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
-                           rans_decode_v2, rans_encode)
+                           rans_decode_v2, rans_encode, rans_encode2)
 
 DEFAULT_GROUP = 1 << 20
+MAX_GROUP = 4 << 20   # encode2 chunks src reads; out buffer bounds this
 
 
 def _round8(x: int) -> int:
@@ -72,27 +73,42 @@ def _pad_groups(arrs, m: int):
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
                           table_log: int = RANS_TABLELOG,
-                          steptots: bool = True, mesh: int = 0) -> bytes:
+                          steptots: bool = True, mesh: int = 0,
+                          totals_only: bool = False) -> bytes:
     """Compress with the TurboRANS Pallas encode kernel.
 
     steptots=True (speed mode) ships per-step renorm counts (+~0.8% of the
     RAW size) enabling the faster v2 decode kernel; False = best ratio.
+    totals_only=True ships 1 u16/step instead of 8 u8/step: 4x smaller
+    section (+0.4 ratio at 1 MiB groups) at ~0.4x decode speed (the
+    decoder's rank needs two chained matmuls instead of one fused one).
     mesh > 1 shards group batches data-parallel over that many devices
     (the reference's block-independence seam, fileio.c:292, at group
     granularity)."""
     import jax.numpy as jnp
 
-    if group_size > DEFAULT_GROUP:
-        # encode blocks (src + halfword-expanded out, double-buffered) top
-        # out VMEM just past 1 MiB; decode accepts up to ~2 MiB host-encoded
-        # groups (rans_decode_v2 drops to 1-way)
+    if group_size > MAX_GROUP:
+        # the packed out buffer (2 bytes/input byte resident in VMEM)
+        # bounds the chain length; 4 MiB amortizes the per-group init
+        # section to reference-beating ratios already
         raise ValueError(
             f"group_size {group_size} exceeds the encode kernel's VMEM "
-            f"budget; use <= {DEFAULT_GROUP}")
+            f"budget; use <= {MAX_GROUP}")
+    if group_size > DEFAULT_GROUP and group_size % DEFAULT_GROUP:
+        raise ValueError(
+            "group sizes above 1 MiB must be a multiple of 1 MiB "
+            "(the encode kernel chunks src reads in 1 MiB spans)")
     if len(data) == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
     src = np.frombuffer(data, dtype=np.uint8)
     chunks = [src[i : i + group_size] for i in range(0, len(src), group_size)]
+    if group_size > DEFAULT_GROUP and chunks and len(chunks[-1]) > DEFAULT_GROUP \
+            and _pad_n(len(chunks[-1])) % DEFAULT_GROUP:
+        # ragged multi-MiB tail whose PADDED size breaks the kernel's 1 MiB
+        # chunking rule: split at the last 1 MiB boundary
+        tail = chunks.pop()
+        cut = len(tail) // DEFAULT_GROUP * DEFAULT_GROUP
+        chunks.extend([tail[:cut], tail[cut:]])
 
     out = bytearray()
     # batch groups by padded size (all-but-last are uniform); stats use the
@@ -145,7 +161,7 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                     jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
                 stots = None
         else:
-            stream, fin, csize, stots = rans_encode(
+            stream, fin, csize, stots = rans_encode2(
                 jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
                 interpret, False, table_log, steptots)
         stream = np.asarray(stream)
@@ -155,8 +171,14 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
         for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
             hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
-            if steptots:
-                sect = stots_np[j].reshape(-1).tobytes()  # 4B-aligned (T%4==0)
+            if steptots and totals_only:
+                # v3 totals-only wire: 1 u16/step (4x smaller than the
+                # per-row section; T % 4 == 0 keeps 4B alignment)
+                sect = (stots_np[j].astype(np.uint16).sum(axis=1)
+                        .astype("<u2").tobytes())
+                fl = FLAG_TOTALS
+            elif steptots:
+                sect = stots_np[j].reshape(-1).tobytes()
                 fl = FLAG_STEPTOTS
             else:
                 sect, fl = b"", 0
@@ -191,7 +213,7 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
         pos += used
 
     pieces: list[bytes | None] = [None] * len(groups)
-    batches: dict[tuple[int, int], list[int]] = {}
+    batches: dict[tuple[int, int, int], list[int]] = {}
     for i, g in enumerate(groups):
         n, csize_hw, tlog, flags, norm, max_sv, init, payload, steptots = g
         if flags & FLAG_RAW:
@@ -200,12 +222,13 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
             pieces[i] = bytes([payload[0]]) * n
         else:
             n_pad = _pad_n(n)
-            batches.setdefault((n_pad, tlog), []).append(i)
+            kind = 0 if steptots is None else steptots.ndim  # 0 | 1 | 2
+            batches.setdefault((n_pad, tlog, kind), []).append(i)
 
-    for (n_pad, tlog), idxs in batches.items():
+    for (n_pad, tlog, kind), idxs in batches.items():
         G = len(idxs)
-        debuglog(3, "turbo decode: batch of %d groups, n_pad=%d, tlog=%d",
-                 G, n_pad, tlog)
+        debuglog(3, "turbo decode: batch of %d groups, n_pad=%d, tlog=%d, "
+                 "sect_kind=%d", G, n_pad, tlog, kind)
         t4 = n_pad // TURBO_STEP_SYMS
         hrows = _round8(
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
@@ -215,8 +238,8 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
         init = np.zeros((G, 8, 128), np.int32)
         hws = np.zeros((G, hrows, 128), np.int32)
         cs = np.zeros(G, np.int32)
-        tots = np.zeros((G, T, 8), np.int32)
-        have_tots = True
+        have_tots = kind > 0
+        tots = np.zeros((G, T) if kind == 1 else (G, T, 8), np.int32)
         for j, i in enumerate(idxs):
             n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
             tbl[j] = pack_rans_dtable(norm, tlog)
@@ -224,9 +247,7 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
             hw = np.frombuffer(payload, "<u2").astype(np.int32)
             hws[j].reshape(-1)[: len(hw)] = hw
             cs[j] = csize_hw
-            if stots is None:
-                have_tots = False
-            else:
+            if have_tots:
                 tots[j] = stots
         mesh_obj = None
         if mesh and mesh > 1:

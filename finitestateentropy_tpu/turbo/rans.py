@@ -49,7 +49,10 @@ RANS_TABLELOG = 11
 RANS_L = 1 << 16
 FLAG_RAW = 1
 FLAG_RLE = 2
-FLAG_STEPTOTS = 4   # v2: per-step per-row renorm counts section present
+FLAG_STEPTOTS = 4   # v2: per-step per-ROW renorm counts (8 u8/step)
+FLAG_TOTALS = 8     # v3: per-step renorm TOTALS only (1 u16/step) — the
+                    # decoder recomputes row offsets with one extra matmul;
+                    # 4x smaller section, same cursor precomputation
 
 _HDR = struct.Struct("<IIIBBH")
 
@@ -73,7 +76,13 @@ def rans_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
 
 
 def rans_compress(data: bytes, table_log: int = RANS_TABLELOG,
-                  steptots: bool = True) -> bytes:
+                  steptots: bool = True, totals_only: bool = False) -> bytes:
+    """steptots=True emits the speed-mode section.  totals_only picks the
+    wire: False (default) ships 8 u8 row counts per step (FLAG_STEPTOTS) —
+    the fastest decode (rank folds into ONE fused matmul); True ships 1 u16
+    total per step (FLAG_TOTALS) — 4x smaller section, but the decoder must
+    recompute row offsets with two chained matmuls on the serial path
+    (~0.4x decode speed; the middle ratio/speed mode)."""
     n = len(data)
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
@@ -125,8 +134,12 @@ def rans_compress(data: bytes, table_log: int = RANS_TABLELOG,
 
     ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
     init = x.astype("<u4").tobytes()
-    if steptots:
-        # T is a multiple of 4 (n_pad % 4096 == 0), so T*8 is 4B-aligned
+    if steptots and totals_only:
+        # T is a multiple of 4, so T*2 bytes is 4B-aligned
+        sect = tots.astype(np.uint16).sum(axis=1).astype("<u2").tobytes()
+        flags_out = FLAG_TOTALS
+    elif steptots:
+        # T*8 is 4B-aligned
         sect = tots.reshape(-1).tobytes()
         flags_out = FLAG_STEPTOTS
     else:
@@ -164,6 +177,11 @@ def parse_rans_group(blob: bytes):
         T = _pad_n(n) // TURBO_LANES
         steptots = np.frombuffer(blob[pos : pos + T * 8], np.uint8).reshape(T, 8).copy()
         pos += T * 8
+    elif flags & FLAG_TOTALS:
+        # v3 section: 1-D totals array (callers distinguish by ndim)
+        T = _pad_n(n) // TURBO_LANES
+        steptots = np.frombuffer(blob[pos : pos + T * 2], "<u2").astype(np.int32)
+        pos += T * 2
     payload = blob[pos : pos + 2 * csize_hw]
     pos += 2 * csize_hw
     return (n, csize_hw, table_log, flags, np.asarray(norm, np.int32), max_sv,
@@ -195,9 +213,13 @@ def rans_decompress(blob: bytes) -> bytes:
         c = e >> np.uint64(20)
         x = f * (x >> np.uint64(table_log)) + slot - c
         flag = x < np.uint64(RANS_L)
-        if steptots is not None and not np.array_equal(
-                flag.reshape(8, 128).sum(axis=1), steptots[t]):
-            raise ValueError("turbo-rans stream corrupt (steptots)")
+        if steptots is not None:
+            rows = flag.reshape(8, 128).sum(axis=1)
+            bad = (int(rows.sum()) != int(steptots[t])
+                   if steptots.ndim == 1
+                   else not np.array_equal(rows, steptots[t]))
+            if bad:
+                raise ValueError("turbo-rans stream corrupt (steptots)")
         rank = np.cumsum(flag)
         pos = cursor - rank
         v = (hw[np.clip(pos, 0, max(len(hw) - 1, 0))] if len(hw)

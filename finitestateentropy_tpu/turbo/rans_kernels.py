@@ -124,7 +124,7 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
 
 
 def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
-                        out_ref, scr_ref, *, t4_count, hrows, u16=False,
+                        out_ref, scr_ref, *, t4_count, srows, u16=False,
                         tlog=RANS_TABLELOG):
     shape = (8, 128)
     g = pl.program_id(0)
@@ -155,17 +155,20 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
         pos = cursor - rank
-        # window rows [base, base+9) always contain [cursor-1024, cursor):
-        # rel = pos - base*128 < 128 + 1024, so 9 row-chunks suffice; rows
-        # load lazily from the stream ref (no 16-row materialization)
-        base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 7), 0, hrows - 16)
-        rel = jnp.clip(pos - base_row * 128, 0, 2047)
-        hi = _srl(rel, 7)
-        lo = rel & 127
-        v = jnp.zeros(shape, jnp.int32)
-        for h in range(9):
+        # packed window (2 halfwords/word): rows [base, base+5) of 128
+        # words always contain the word span of [cursor-1024, cursor)
+        wpos = _srl(pos, 1)
+        parity = pos & 1
+        base_row = jnp.clip(_srl(jnp.maximum(cursor - 1024, 0), 8), 0,
+                            srows - 8)
+        relw = jnp.clip(wpos - base_row * 128, 0, 639)
+        hi = _srl(relw, 7)
+        lo = relw & 127
+        v32 = jnp.zeros(shape, jnp.int32)
+        for h in range(5):
             row = jnp.broadcast_to(stream_ref[pl.ds(base_row + h, 1), :], shape)
-            v = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v)
+            v32 = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v32)
+        v = jnp.where(parity == 1, _srl(v32, 16), v32) & 0xFFFF
         x = jnp.where(flag, _sll(x, 16) | v, x)
         return sym, x, cursor - total
 
@@ -200,16 +203,21 @@ def rans_decode(csize_hw, tables, init_states, streams,
     Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
     G = tables.shape[0]
     rows = t4_count * 8 + 16
+    srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
     kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
-                             hrows=hrows, u16=u16, tlog=tlog)
+                             srows=srows, u16=u16, tlog=tlog)
     tch = tables.shape[1]
+    # pack stream halfwords 2-per-word (little-endian pair order)
+    hw = streams.reshape(G, hrows * 128)
+    packed = hw[:, 0::2] | _sll(hw[:, 1::2], 16)
+    pk = jnp.zeros((G, srows * 128), jnp.int32).at[:, : hrows * 64].set(packed)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, tch, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hrows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((srows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rows, 128), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
@@ -219,7 +227,7 @@ def rans_decode(csize_hw, tables, init_states, streams,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((G * rows, 128), jnp.int32),
         interpret=interpret,
-    )(csize_hw, tables, init_states, streams.reshape(G * hrows, 128))
+    )(csize_hw, tables, init_states, pk.reshape(G * srows, 128))
     out = out.reshape(G, rows, 128)
     err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))
     return out[:, : t4_count * 8, :], err
@@ -386,6 +394,224 @@ def rans_encode(fc_tables, magic_tables, src_words,
 
 
 # ---------------------------------------------------------------------------
+# Encode v2: packed output words + src chunked over a second grid dim.
+# Packing the stream 2 halfwords/word turns the two pull passes into ONE
+# (a 1024-word window covers the whole <= 1279-halfword step span) and
+# halves the out buffer; chunking the src reads lets one coder chain span
+# multi-MiB groups (x/cursor persist in scratch across sequential grid
+# steps), which amortizes the 4 KiB init-state section for ratio parity.
+# Wire is identical to _rans_encode_kernel's.
+# ---------------------------------------------------------------------------
+
+
+def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
+                         sect_ref, scr_ref, xs_ref, cv_ref, tile_ref,
+                         *, chunk_t4, n_chunks, hcap_p, u16=False,
+                         tlog=RANS_TABLELOG, steptots=True):
+    shape = (8, 128)
+    tria = _make_tria()
+    tril8 = _make_tril8()
+    thresh_shift = 32 - tlog
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    spc = 2 if u16 else 4            # steps per supercycle
+    tiles_span = 128 // spc          # supercycles per steptot tile
+    c = pl.program_id(1)
+    t4_count = chunk_t4 * n_chunks
+
+    @pl.when(c == 0)
+    def _init():
+        xs_ref[...] = jnp.full(shape, RANS_L, jnp.int32)
+        cv_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
+        tile_ref[...] = jnp.zeros(shape, jnp.int32)
+
+    def div(x, f, m):
+        q = _mulhi32(x, m)
+        r = x - q * f
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - f, r)
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - f, r)
+        return q, r
+
+    n_sym_chunks = 8 if u16 else 2
+
+    def step(x, cursor, tile, t, word, p):
+        if u16:
+            sym = _srl(word, 16 * p) & 0xFFFF
+        else:
+            sym = _srl(word, 8 * p) & 0xFF
+        shi = _srl(sym, 7)
+        slo = sym & 127
+        e = jnp.zeros(shape, jnp.int32)
+        m = jnp.zeros(shape, jnp.int32)
+        for h in range(n_sym_chunks):
+            frow = jnp.broadcast_to(fc_ref[0, h : h + 1, :], shape)
+            mrow = jnp.broadcast_to(magic_ref[0, h : h + 1, :], shape)
+            hit = shi == h
+            e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
+            m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
+        f = e & 0xFFF
+        cu = _srl(e, 12) & 0xFFF
+
+        flag = _uge(x, _sll(f, thresh_shift))
+        emit = x & 0xFFFF
+        x = jnp.where(flag, _srl(x, 16), x)
+        q, r = div(x, f, m)
+        x = _sll(q, tlog) + cu + r
+
+        rank, total, rowtot_b = _flag_prefix(flag.astype(jnp.int32), tria,
+                                             tril8, scr_ref, shape)
+        if steptots:
+            tile = jnp.where(lanes8 == (t & 127), rowtot_b, tile)
+
+        # single packed pull pass: word w holds halfwords 2w | 2w+1 << 16;
+        # window [base*128, base*128+1024) words = 2048 halfwords always
+        # covers [cursor, cursor+total] (misalign < 256, total <= 1024)
+        base_w = jnp.clip(_srl(cursor, 8), 0, hcap_p - 8)
+        posw = base_w * 128 \
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128 \
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        want0 = cursor + total - 2 * posw
+        want1 = want0 - 1
+
+        def search(want):
+            lo = jnp.zeros(shape, jnp.int32)
+            hi_b = jnp.full(shape, TURBO_LANES - 1, jnp.int32)
+            for _ in range(10):
+                mid = _srl(lo + hi_b, 1)
+                rv = _chunk_gather(rank, mid, 8, shape)
+                ge = rv >= want
+                hi_b = jnp.where(ge, mid, hi_b)
+                lo = jnp.where(ge, lo, mid + 1)
+            return _chunk_gather(emit, hi_b, 8, shape)
+
+        v0 = search(want0)
+        v1 = search(want1)
+        valid0 = (want0 >= 1) & (want0 <= total)
+        valid1 = (want1 >= 1) & (want1 <= total)
+        old = out_ref[pl.ds(base_w, 8), :]
+        lo16 = jnp.where(valid0, v0, old & 0xFFFF)
+        hi16 = jnp.where(valid1, v1, _srl(old, 16))
+        out_ref[pl.ds(base_w, 8), :] = lo16 | _sll(hi16, 16)
+        return x, cursor + total, tile
+
+    def body(i, carry):
+        x, cursor, tile = carry
+        lt4 = chunk_t4 - 1 - i                       # local, descending
+        t4 = (n_chunks - 1 - c) * chunk_t4 + lt4     # global supercycle
+        tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
+                         jnp.zeros(shape, jnp.int32), tile)
+        word = src_ref[pl.ds(lt4 * 8, 8), :]
+        if u16:
+            x, cursor, tile = step(x, cursor, tile, 2 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 2 * t4, word, 0)
+        else:
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 3, word, 3)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
+        if steptots:
+            # sect block is whole-group (revisited): write at the GLOBAL
+            # region row, so chunk boundaries need not align to regions
+            sect_ref[pl.ds((t4 // tiles_span) * 8, 8), :] = tile
+        return x, cursor, tile
+
+    x0 = xs_ref[...]
+    cursor0 = cv_ref[0, 0]
+    x, cursor, tile_f = jax.lax.fori_loop(
+        0, chunk_t4, body, (x0, cursor0, tile_ref[...]))
+    xs_ref[...] = x
+    cv_ref[0:1, 0:1] = jnp.full((1, 1), cursor, jnp.int32)
+    tile_ref[...] = tile_f
+    # final states + csize live in the tail block; last chunk's write wins
+    tail_ref[0:8, :] = x
+    tail_ref[8:16, :] = jnp.full(shape, cursor, jnp.int32)
+
+
+def _enc_chunking(t4_count: int, spc: int, force_chunk: int = 0) -> tuple[int, int]:
+    """(chunk_t4, n_chunks): chunk src reads when a group exceeds 1 MiB of
+    supercycles; chunk must align to the steptot tile span (128//spc)."""
+    max_chunk = force_chunk or 256            # ~1 MiB of src per chunk
+    if t4_count <= max_chunk:
+        return t4_count, 1
+    if t4_count % max_chunk:
+        raise ValueError(
+            f"large groups must be a multiple of {max_chunk} supercycles; "
+            f"got t4_count={t4_count} (pad or split the tail group)")
+    return max_chunk, t4_count // max_chunk
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+def rans_encode2(fc_tables, magic_tables, src_words,
+                 t4_count: int, hrows_cap: int, interpret: bool = False,
+                 u16: bool = False, tlog: int = RANS_TABLELOG,
+                 steptots: bool = True, force_chunk: int = 0):
+    """Packed-out encode, groups up to 4 MiB.  Same contract as
+    rans_encode: returns (stream halfword-expanded, finals, csize, stots).
+
+    force_chunk (tests only) shrinks the src-chunk span so the multi-chunk
+    path is exercised on small interpret-mode groups."""
+    G = fc_tables.shape[0]
+    nch = fc_tables.shape[1]
+    spc = 2 if u16 else 4
+    T = t4_count * spc
+    tiles_span = 128 // spc
+    chunk_t4, n_chunks = _enc_chunking(t4_count, spc, force_chunk)
+    hcap_p = ((hrows_cap + 1) // 2 + 8 + 7) // 8 * 8
+    sect_rows = ((t4_count + tiles_span - 1) // tiles_span) * 8
+
+    kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,
+                             n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
+                             tlog=tlog, steptots=steptots)
+    out, tail, sect = pl.pallas_call(
+        kern,
+        grid=(G, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, nch, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nch, 128), lambda g, c: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_t4 * 8, 128),
+                         lambda g, c, n=n_chunks: (g * n + (n - 1 - c), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((hcap_p, 128), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 128), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sect_rows, 128), lambda g, c: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G * hcap_p, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G * 16, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G * sect_rows, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32),
+                        pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
+    )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
+
+    # unpack words back to the halfword-expanded contract
+    w = out.reshape(G, hcap_p * 128)
+    hw = jnp.zeros((G, hrows_cap * 128), jnp.int32)
+    hw = hw.at[:, 0::2].set((w & 0xFFFF)[:, : (hrows_cap * 128 + 1) // 2])
+    hw = hw.at[:, 1::2].set(_srl(w, 16)[:, : hrows_cap * 128 // 2])
+    stream = hw.reshape(G, hrows_cap, 128)
+    tail = tail.reshape(G, 16, 128)
+    if steptots:
+        stots = (sect.reshape(G, sect_rows // 8, 8, 128)
+                 .transpose(0, 1, 3, 2)
+                 .reshape(G, (sect_rows // 8) * 128, 8)[:, :T, :])
+    else:
+        stots = None
+    return stream, tail[:, 0:8, :], tail[:, 8, 0], stots
+
+
+# ---------------------------------------------------------------------------
 # Host-side table packing
 # ---------------------------------------------------------------------------
 
@@ -543,6 +769,86 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
+def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
+                            out_ref, *, t4_count, srows, nway, u16=False,
+                            tlog=RANS_TABLELOG):
+    """Totals-only (FLAG_TOTALS) variant: the wire ships one u16 renorm
+    total per step, so cursors still precompute in XLA but the per-ROW
+    offsets are recomputed in-kernel with the encode-side 2-matmul prefix
+    (no scalar round-trips).  4x smaller wire section than FLAG_STEPTOTS."""
+    shape = (8, 128)
+    tsize = 1 << tlog
+    tchunks = max(tsize // 128, 1)
+    spc = 2 if u16 else 4
+    tria = _make_tria()
+    tril8 = _make_tril8()
+    rows_per = t4_count * 8 + 8
+    cur_rows = cur_ref.shape[0] // nway
+
+    def step(x, t4, pp, gg):
+        slot = x & (tsize - 1)
+        thi = _srl(slot, 7)
+        tlo = slot & 127
+        e = jnp.zeros(shape, jnp.int32)
+        for h in range(tchunks):
+            trow = jnp.broadcast_to(table_ref[gg, h : h + 1, :], shape)
+            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
+        if u16:
+            sym = e & 0x3FF
+            f = _srl(e, 10) & 0x7FF
+            c = _srl(e, 21)
+        else:
+            sym = e & 0xFF
+            f = _srl(e, 8) & 0xFFF
+            c = _srl(e, 20)
+        x = f * _srl(x, tlog) + slot - c
+        flag = _srl(x, 16) == 0
+        # flat inclusive rank: within-row matmul + tril8 row-offset matmul
+        aug = jax.lax.dot_general(
+            flag.astype(jnp.int32).astype(jnp.bfloat16), tria,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        rowpre = jax.lax.dot_general(
+            tril8, aug[:, 128:129].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        rank = (aug[:, :128] + rowpre).astype(jnp.int32)
+        cursor = cur_ref[gg * cur_rows + t4, pp]
+        pos = cursor - rank
+        wpos = _srl(pos, 1)
+        parity = pos & 1
+        base_row = jnp.clip(
+            _srl(jnp.maximum(cursor - 1024, 0), 8), 0, srows - 8) + gg * srows
+        relw = jnp.clip(wpos - (base_row - gg * srows) * 128, 0, 639)
+        hi = _srl(relw, 7)
+        lo = relw & 127
+        v32 = jnp.zeros(shape, jnp.int32)
+        for h in range(5):
+            row = jnp.broadcast_to(stream_ref[pl.ds(base_row + h, 1), :], shape)
+            v32 = jnp.where(hi == h, jnp.take_along_axis(row, lo, axis=1), v32)
+        v = jnp.where(parity == 1, _srl(v32, 16), v32) & 0xFFFF
+        return sym, jnp.where(flag, _sll(x, 16) | v, x)
+
+    def body(t4, xs):
+        xs = list(xs)
+        syms = [[] for _ in range(nway)]
+        for pp in range(spc):
+            for gg in range(nway):
+                sg, xs[gg] = step(xs[gg], t4, pp, gg)
+                syms[gg].append(sg)
+        for gg in range(nway):
+            sa = syms[gg]
+            if u16:
+                tile = sa[0] | _sll(sa[1], 16)
+            else:
+                tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
+            out_ref[pl.ds(gg * rows_per + t4 * 8, 8), :] = tile
+        return tuple(xs)
+
+    xs = jax.lax.fori_loop(0, t4_count, body,
+                           tuple(init_ref[g] for g in range(nway)))
+    for gg in range(nway):
+        out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
+
+
 def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
     """Widest interleave whose double-buffered blocks fit the VMEM budget.
 
@@ -559,17 +865,20 @@ def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
 def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    t4_count: int, hrows: int, interpret: bool = False,
                    tlog: int = RANS_TABLELOG, u16: bool = False):
-    """v2 decode: steptots[G, T, 8] i32 = shipped per-step renorm counts.
+    """v2 decode.  steptots is either [G, T, 8] per-row renorm counts
+    (FLAG_STEPTOTS wire) or [G, T] per-step totals (FLAG_TOTALS wire — the
+    row offsets are then recomputed in-kernel).
 
     Returns (out[G, t4_count*8, 128] i32, err[G] i32 with 0 = ok); err
     covers both corrupt chains (final states != L) and inconsistent
     steptots (total != csize)."""
     G0 = tables.shape[0]
     T = steptots.shape[1]
+    totals_only = steptots.ndim == 2
     spc = 2 if u16 else 4
     rows_per = t4_count * 8 + 8
     tch = tables.shape[1]
-    r8 = ((T + 127) // 128) * 8
+    r8 = 0 if totals_only else ((T + 127) // 128) * 8
     rc = ((t4_count + 7) // 8) * 8
     srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
 
@@ -583,17 +892,10 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
             dup, (csize_hw, tables, init_states, streams, steptots))
     G = tables.shape[0]
 
-    totals = jnp.sum(steptots, axis=2)                               # [G,T]
+    totals = steptots if totals_only else jnp.sum(steptots, axis=2)  # [G,T]
     cursors = csize_hw[:, None] - (jnp.cumsum(totals, axis=1) - totals)
-    rowoff = jnp.cumsum(steptots, axis=2) - steptots                 # [G,T,8]
     bad = (cursors[:, -1] - totals[:, -1]) != 0
 
-    # rowoff tiles: value (t, r) at row (t//128)*8 + r, lane t % 128
-    tpad = ((T + 127) // 128) * 128
-    ro = jnp.pad(rowoff, ((0, 0), (0, tpad - T), (0, 0)))            # [G,tp,8]
-    roff = (ro.reshape(G, tpad // 128, 128, 8)
-            .transpose(0, 1, 3, 2)
-            .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
     # cursor scalars: step t = spc*t4 + pp lives at [row t4, lane pp] (lane
     # is static per unrolled step; traced rows are fine for scalar reads)
     curs = jnp.zeros((G, rc, 128), jnp.int32).at[:, :t4_count, :spc].set(
@@ -605,24 +907,44 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     packed = (hw[:, 0::2] | _sll(hw[:, 1::2], 16))[:, :npairs]
     pk = jnp.zeros((G, srows * 128), jnp.int32).at[:, :npairs].set(packed)
 
-    kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
-                             srows=srows, nway=nway, u16=u16, tlog=tlog)
+    common_specs = [
+        pl.BlockSpec((nway, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nway, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nway * srows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+    ]
+    if totals_only:
+        kern = functools.partial(_rans_decode_v2t_kernel, t4_count=t4_count,
+                                 srows=srows, nway=nway, u16=u16, tlog=tlog)
+        in_specs = common_specs + [
+            pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ]
+        ins = (tables, init_states, pk.reshape(G * srows, 128),
+               curs.reshape(G * rc, 128))
+    else:
+        # rowoff tiles: value (t, r) at row (t//128)*8 + r, lane t % 128
+        rowoff = jnp.cumsum(steptots, axis=2) - steptots             # [G,T,8]
+        tpad = ((T + 127) // 128) * 128
+        ro = jnp.pad(rowoff, ((0, 0), (0, tpad - T), (0, 0)))        # [G,tp,8]
+        roff = (ro.reshape(G, tpad // 128, 128, 8)
+                .transpose(0, 1, 3, 2)
+                .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
+        kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
+                                 srows=srows, nway=nway, u16=u16, tlog=tlog)
+        in_specs = common_specs + [
+            pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ]
+        ins = (tables, init_states, pk.reshape(G * srows, 128),
+               roff.reshape(G * r8, 128), curs.reshape(G * rc, 128))
     out = pl.pallas_call(
         kern,
         grid=(G // nway,),
-        in_specs=[
-            pl.BlockSpec((nway, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nway, 8, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nway * srows, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nway * rows_per, 128), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G * rows_per, 128), jnp.int32),
         interpret=interpret,
-    )(tables, init_states, pk.reshape(G * srows, 128),
-      roff.reshape(G * r8, 128), curs.reshape(G * rc, 128))
+    )(*ins)
     out = out.reshape(G, rows_per, 128)
     err = jnp.abs(out[:, t4_count * 8 :, :]).max(axis=(1, 2))
     err = err + bad.astype(jnp.int32)

@@ -31,7 +31,8 @@ constexpr uint32_t kL = 1u << 16;    // rANS lower bound
 constexpr int kMinTableLog = 5;
 constexpr int kFlagRaw = 1;
 constexpr int kFlagRle = 2;
-constexpr int kFlagStepTots = 4;  // v2: shipped per-step renorm counts
+constexpr int kFlagStepTots = 4;  // v2: shipped per-step per-row counts
+constexpr int kFlagTotals = 8;    // v3: shipped per-step totals (1 u16)
 
 inline int highbit32(uint32_t v) {
   return 31 - __builtin_clz(v);
@@ -564,11 +565,12 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap) return -3;
   const uint8_t* init = blob + pos;  // may be misaligned; memcpy'd below
   pos += 4 * kLanes;
-  if (h.flags & kFlagStepTots) {
-    // v2 section is redundant for this decoder (ranks are recomputed);
-    // skip it
+  if (h.flags & (kFlagStepTots | kFlagTotals)) {
+    // speed-mode sections are redundant for this decoder (ranks are
+    // recomputed); skip them
     uint64_t n_pad2 = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
-    uint64_t sect = (n_pad2 / kLanes) * 8;  // 4B-aligned by construction
+    uint64_t steps = n_pad2 / kLanes;
+    uint64_t sect = (h.flags & kFlagStepTots) ? steps * 8 : steps * 2;
     if (pos + sect > len) return -3;
     pos += sect;
   }
@@ -655,8 +657,10 @@ int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
     } else {
       uint64_t n_pad =
           (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
-      gl = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes +
-           ((h.flags & kFlagStepTots) ? (n_pad / kLanes) * 8 : 0) +
+      uint64_t sect = (h.flags & kFlagStepTots) ? (n_pad / kLanes) * 8
+                      : (h.flags & kFlagTotals) ? (n_pad / kLanes) * 2
+                                                : 0;
+      gl = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes + sect +
            2 * uint64_t(h.csize_hw);
     }
     if (pos + gl > len) return -3;

@@ -221,9 +221,12 @@ def test_nway_selection_and_group_size_guard():
     assert _pick_nway(1 * mib) == 6       # typical 1 MiB group (r2 budget)
     assert _pick_nway(2 * mib) == 4
     assert _pick_nway(3 * mib) == 2
-    assert _pick_nway(5 * mib) == 1       # big host-encoded group
-    with pytest.raises(ValueError, match="VMEM"):
-        turbo_compress_device(b"x" * 100, group_size=2 * mib)
+    assert _pick_nway(5 * mib) == 1       # big (multi-MiB) decode group
+    # 2 MiB groups are legal since the chunked encode2 kernel (r2); the
+    # VMEM guard moved to >4 MiB (test_large_group_guards_and_tail_split)
+    blob = turbo_compress_device(b"x" * 100, group_size=2 * mib,
+                                 interpret=True)
+    assert blob
 
 
 def test_rans16_v2_speed_mode_interpret():
@@ -316,3 +319,48 @@ def test_corrupt_steptots_detected_interpret():
     dev[sect_off + 5] ^= 0x01
     with pytest.raises(ValueError):
         turbo_decompress_device(bytes(dev), interpret=True)
+
+
+def test_rans_encode2_matches_v1_and_chunks_interpret():
+    """Packed-out encode2 (and its multi-chunk path) is byte-identical to
+    the original encode kernel on the same inputs."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.api import _hrows_cap, _prep_group
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans_ctables, rans_encode, rans_encode2)
+
+    gsz = 16384
+    data = generate_proba(80)[:gsz]
+    src = np.frombuffer(data, np.uint8)
+    norm, max_sv, ncount, mfs = _prep_group(src)
+    n_pad = _pad_n(gsz)
+    t4 = n_pad // TURBO_STEP_SYMS
+    hcap = _hrows_cap(n_pad)
+    fc, mg = pack_rans_ctables(norm)
+    pad = np.full(n_pad, mfs, np.uint8)
+    pad[:gsz] = src
+    srcw = jnp.asarray(pad.view("<u4").view(np.int32)
+                       .reshape(1, t4 * 8, 128))
+    fcb, mgb = jnp.asarray(fc[None]), jnp.asarray(mg[None])
+
+    s1, f1, c1, st1 = rans_encode(fcb, mgb, srcw, t4, hcap, True)
+    for force in (0, 2, 1):   # single chunk, 2 chunks, t4 chunks
+        s2, f2, c2, st2 = rans_encode2(fcb, mgb, srcw, t4, hcap, True,
+                                       False, 11, True, force)
+        assert int(c2[0]) == int(c1[0])
+        cs = int(c1[0])
+        assert np.array_equal(np.asarray(s2)[0].reshape(-1)[:cs],
+                              np.asarray(s1)[0].reshape(-1)[:cs]), force
+        assert np.array_equal(np.asarray(f2), np.asarray(f1)), force
+        assert np.array_equal(np.asarray(st2), np.asarray(st1)), force
+
+
+def test_large_group_guards_and_tail_split():
+    from finitestateentropy_tpu.turbo.api import turbo_compress_device
+
+    with pytest.raises(ValueError, match="VMEM"):
+        turbo_compress_device(b"x" * 100, group_size=5 << 20)
+    with pytest.raises(ValueError, match="multiple of 1 MiB"):
+        turbo_compress_device(b"x" * 100, group_size=(1 << 20) + (1 << 19))
