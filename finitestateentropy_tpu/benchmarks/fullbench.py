@@ -229,10 +229,13 @@ def _device_compat_stages():
     blocks = [data[i: i + bs] for i in range(0, len(data), bs)]
     fse_c = FseTpuCodec(block_size=bs)
     huf_c = HufTpuCodec(block_size=bs)
+    huf_x2 = HufTpuCodec(block_size=bs, decoder="x2")
     fres = fse_c.compress_blocks(blocks)
     hres = huf_c.compress_blocks(blocks)
-    fitems = [(r.data, bs) for r in fres if r.kind.name == "COMPRESSED"]
-    hitems = [(r.data, bs) for r in hres if r.kind.name == "COMPRESSED"]
+    fitems = [(r.data, len(b)) for b, r in zip(blocks, fres)
+              if r.kind.name == "COMPRESSED"]
+    hitems = [(r.data, len(b)) for b, r in zip(blocks, hres)
+              if r.kind.name == "COMPRESSED"]
     n = len(data)
     return {
         210: ("device fse_encode_batch (compat)",
@@ -243,6 +246,8 @@ def _device_compat_stages():
               lambda: huf_c.compress_blocks(blocks), n),
         213: ("device huf_decode_4x1_batch (compat)",
               lambda: huf_c.decompress_blocks(hitems), bs * len(hitems)),
+        214: ("device huf_decode_4x2_batch (compat)",
+              lambda: huf_x2.decompress_blocks(hitems), bs * len(hitems)),
     }
 
 

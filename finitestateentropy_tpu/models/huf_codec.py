@@ -28,11 +28,21 @@ def _round_up(x: int, m: int) -> int:
 
 class HufTpuCodec:
     """Batched Huff0 coder. `mesh` > 1 shards the block batch data-parallel
-    over that many devices (parallel/dp.py)."""
+    over that many devices (parallel/dp.py).
 
-    def __init__(self, block_size: int = 32768, mesh: int = 0):
+    decoder: "x1" (default) or "x2" — both wire-identical; X2 packs up to
+    two symbols per lookup (huf_decompress.c:454-953).  On TPU the X1 shim
+    measures faster (fewer gathers/symbol beats the halved loop count; see
+    PERFORMANCE.md), so unlike the reference's selector there is no
+    ratio-based auto-switch."""
+
+    def __init__(self, block_size: int = 32768, mesh: int = 0,
+                 decoder: str = "x1"):
+        if decoder not in ("x1", "x2"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.block_size = block_size
         self.mesh = mesh
+        self.decoder = decoder
         self._jax = None
 
     def _get_mesh(self):
@@ -145,8 +155,18 @@ class HufTpuCodec:
         nout = np.zeros(B * 4, dtype=np.int32)
         tlogs = np.zeros(B * 4, dtype=np.int32)
         weights = np.zeros((B, 256), dtype=np.int32)
+        x2_tbl = (np.zeros((B, 4096), dtype=np.int32)
+                  if self.decoder == "x2" else None)
+        x2_tlogs = np.zeros(B, dtype=np.int32)
         segs = np.zeros(B, dtype=np.int32)
         for k, (payload, rsize) in enumerate(items):
+            if self.decoder == "x2":
+                from ..ops.huf_kernels import pack_dtable_x2
+                from ..refimpl.huf import huf_read_dtable_x2
+
+                dt2, _used2 = huf_read_dtable_x2(payload)
+                x2_tbl[k] = pack_dtable_x2(dt2)
+                x2_tlogs[k] = dt2.table_log
             w, rank_stats, nbsym, tlog, used = huf_read_stats(payload)
             body = payload[used:]
             if len(body) < 10:
@@ -174,7 +194,13 @@ class HufTpuCodec:
 
         # device: tables per block, replicated x4 for the stream axis
         mesh = self._get_mesh()
-        if mesh is not None:
+        if self.decoder == "x2":
+            tl4 = np.repeat(x2_tlogs, 4)
+            tbl4 = jnp.asarray(np.repeat(x2_tbl, 4, axis=0))
+            out, err = huf_kernels.huf_decode_4x2_batch(
+                jnp.asarray(streams), jnp.asarray(csize), jnp.asarray(nout),
+                jnp.asarray(tl4), tbl4, max_seg=seg_cap)
+        elif mesh is not None:
             from .fse_codec import _pad_batch
             from ..parallel.dp import sharded_huf_decode
 

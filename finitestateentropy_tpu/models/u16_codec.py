@@ -11,8 +11,8 @@ Two wire modes:
   * wire="compat": bytes identical to the reference FSE_compressU16
     (fseU16.c:203-251), via the host twin — the interchange format.
   * wire="turbo": the TPU-native TurboRANS-U16 group format (turbo/rans16),
-    batched Pallas kernels — the speed path (symbols <= 1023 on device,
-    larger alphabets fall back to the twin inside turbo16).
+    batched Pallas kernels — the speed path (split-table kernels cover
+    symbols up to the reference's absolute max 4095).
 """
 from __future__ import annotations
 

@@ -146,3 +146,73 @@ def huf_decode_4x1_batch(streams_u8, csize, n_out, table_log, dtable, max_seg: i
     f = lambda w, bp, n, tl, bt, nt: _decode_stream_x1(w, bp, n, tl, bt, nt, max_seg)
     out, err = jax.vmap(f)(words, bitpos0, n_out, table_log, byte_tbl, nb_tbl)
     return out, err | (bad & (n_out > 0))
+
+
+# ---------------------------------------------------------------------------
+# Decode X2 (double-symbol entries, huf_decompress.c:454-953)
+# ---------------------------------------------------------------------------
+
+
+def pack_dtable_x2(dt) -> "np.ndarray":
+    """Pack a host-built DTableX2 (refimpl.huf.huf_read_dtable_x2 — the
+    build is 4096-entry host work like the tree build) into one int32 table:
+    entry = seq_lo | seq_hi<<8 | nb_bits<<16 | (length-1)<<22."""
+    import numpy as np
+
+    e = (dt.seq_lo.astype(np.int32)
+         | (dt.seq_hi.astype(np.int32) << 8)
+         | (dt.nb_bits.astype(np.int32) << 16)
+         | ((dt.length.astype(np.int32) - 1) << 22))
+    out = np.zeros(4096, np.int32)
+    out[: len(e)] = e
+    return out
+
+
+def _decode_stream_x2(words, bitpos0, n_out, table_log, tbl, max_seg: int):
+    """One X2 stream: each lookup writes 1-2 bytes (entry-packed table).
+
+    Mirrors HUF_decodeStreamX2 (huf_decompress.c:696-720) including the
+    last-symbol rule: a length-2 entry at the final position writes only
+    its first byte and consumes the remaining bits (the reference clamps
+    bitsConsumed to the register width there, huf_decompress.c:668-682)."""
+    dt_log = table_log.astype(jnp.int32)
+
+    def body(i, carry):
+        bitpos, p, out = carry
+        active = p < n_out
+        avail = jnp.minimum(dt_log, jnp.maximum(bitpos, 0))
+        raw = read_bits(words, bitpos - avail, avail.astype(jnp.uint32)).astype(jnp.int32)
+        v = raw << (dt_log - avail)
+        e = tbl[v]
+        sl = (e & 0xFF).astype(jnp.uint8)
+        sh = ((e >> 8) & 0xFF).astype(jnp.uint8)
+        nb = (e >> 16) & 0x3F
+        two = ((e >> 22) & 1) == 1
+        is_last = two & (p == n_out - 1)
+        out = out.at[p].set(jnp.where(active, sl, out[p]))
+        p1 = jnp.minimum(p + 1, out.shape[0] - 1)
+        wr2 = active & two & ~is_last
+        out = out.at[p1].set(jnp.where(wr2, sh, out[p1]))
+        new_bitpos = jnp.where(is_last, jnp.maximum(bitpos - nb, 0), bitpos - nb)
+        bitpos = jnp.where(active, new_bitpos, bitpos)
+        step = jnp.where(is_last, 1, jnp.where(two, 2, 1))
+        p = jnp.where(active, p + step, p)
+        return bitpos, p, out
+
+    out0 = jnp.zeros(max_seg + 1, dtype=jnp.uint8)  # +1: 2-byte write slack
+    bitpos, p, out = jax.lax.fori_loop(0, max_seg, body,
+                                       (bitpos0, jnp.int32(0), out0))
+    err = ((bitpos != 0) | (p != n_out)) & (n_out > 0)
+    return out[:max_seg], err
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def huf_decode_4x2_batch(streams_u8, csize, n_out, table_log, tbl, max_seg: int):
+    """X2 analogue of huf_decode_4x1_batch; tbl[B4, 4096] int32 packed by
+    pack_dtable_x2.  Wire-identical output to the X1 path (the selector is
+    a speed heuristic, huf_decompress.c:1029-1051, with no format effect)."""
+    words = bytes_to_words(streams_u8)
+    bitpos0, bad = initial_bitpos(streams_u8, csize)
+    f = lambda w, bp, n, tl, t: _decode_stream_x2(w, bp, n, tl, t, max_seg)
+    out, err = jax.vmap(f)(words, bitpos0, n_out, table_log, tbl)
+    return out, err | (bad & (n_out > 0))

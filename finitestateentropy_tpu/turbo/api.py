@@ -6,7 +6,9 @@ Pallas kernels.  Groups of equal padded size batch into one kernel launch.
 """
 from __future__ import annotations
 
+import os
 import struct
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -112,11 +114,18 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
 
     out = bytearray()
     # batch groups by padded size (all-but-last are uniform); stats use the
-    # native C prep when built (python normalization is GIL-bound)
+    # native C prep when built (it releases the GIL, so prep threads across
+    # cores and overlaps the async device dispatch — the reference's
+    # per-block codec call at fileio.c:343, pipelined)
     batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
     passthrough: dict[int, bytes] = {}
-    for gi, ch in enumerate(chunks):
-        prep = prep_group(ch, table_log)
+    workers = min(len(chunks), os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            preps = list(ex.map(lambda ch: prep_group(ch, table_log), chunks))
+    else:
+        preps = [prep_group(ch, table_log) for ch in chunks]
+    for gi, (ch, prep) in enumerate(zip(chunks, preps)):
         if prep is None:
             passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RLE, 0) \
                 + bytes([ch[0]]) + b"\0" * 3
@@ -133,11 +142,20 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
         fc = np.zeros((G, 2, 128), np.int32)
         mg = np.zeros((G, 2, 128), np.int32)
         srcw = np.zeros((G, t4 * 8, 128), np.int32)
-        for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
+
+        def stage(j):
+            gi, ch, (norm, max_sv, ncount, mfs) = items[j]
             fc[j], mg[j] = pack_rans_ctables(norm)  # layout is tlog-agnostic
             pad = np.full(n_pad, mfs, np.uint8)
             pad[: len(ch)] = ch
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t4 * 8, 128)
+
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=min(G, workers)) as ex:
+                list(ex.map(stage, range(G)))
+        else:
+            for j in range(G):
+                stage(j)
         mesh_obj = None
         if mesh and mesh > 1:
             from ..parallel.mesh import get_mesh
@@ -240,7 +258,11 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
         cs = np.zeros(G, np.int32)
         have_tots = kind > 0
         tots = np.zeros((G, T) if kind == 1 else (G, T, 8), np.int32)
-        for j, i in enumerate(idxs):
+
+        def fill(j_i):
+            # per-group table pack + payload staging: numpy releases the
+            # GIL on the bulk ops, so groups fill across cores
+            j, i = j_i
             n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
             tbl[j] = pack_rans_dtable(norm, tlog)
             init[j] = ini.view(np.int32).reshape(8, 128)
@@ -249,6 +271,14 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
             cs[j] = csize_hw
             if have_tots:
                 tots[j] = stots
+
+        workers = min(G, os.cpu_count() or 1)
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(fill, enumerate(idxs)))
+        else:
+            for ji in enumerate(idxs):
+                fill(ji)
         mesh_obj = None
         if mesh and mesh > 1:
             from ..parallel.mesh import get_mesh
@@ -319,41 +349,51 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
     chunks = [symbols[i : i + group_syms]
               for i in range(0, max(len(symbols), 1), group_syms)]
 
-    # batch groups by padded size, one kernel launch per batch (as the byte
-    # path does); twin handles empty/oversized/RLE groups
+    # batch groups by (padded size, alphabet width): symbols above 1023 use
+    # the split-table kernels (r2); twin handles empty/oversized/RLE groups
     results: dict[int, bytes] = {}
-    batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
+    batches: dict[tuple[int, bool], list[tuple[int, np.ndarray, tuple]]] = {}
     for gi, chunk in enumerate(chunks):
         n = len(chunk)
-        count = np.bincount(chunk, minlength=1024) if n else None
+        count = np.bincount(chunk, minlength=4096) if n else None
         if (n == 0 or int(chunk.max(initial=0)) > RANS16_MAX_SYMBOL
                 or int(count.max()) == n):
             results[gi] = rans16_compress(chunk, steptots)
             continue
         max_sv = int(chunk.max())
-        norm, tlog = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1],
-                                         n, max_sv)
+        # alphabets above 1023 need tableLog 12-13 (fseU16.c:43-48 analogue)
+        tlog_req = (RANS_TABLELOG if max_sv <= 1023
+                    else 12 if max_sv <= 2047 else 13)
+        norm, tlog = fse_normalize_count(tlog_req, count[: max_sv + 1],
+                                         n, max_sv, max_table_log=13)
         ncount = fse_write_ncount(norm, max_sv, tlog)
         mfs = int(count.argmax())
-        batches.setdefault(_pad_n16(n), []).append(
+        batches.setdefault((_pad_n16(n), max_sv > 1023, tlog), []).append(
             (gi, chunk, (np.asarray(norm), ncount, mfs, tlog)))
 
-    for n_pad, items in batches.items():
+    for (n_pad, big, btlog), items in batches.items():
         G = len(items)
-        debuglog(3, "turbo16 encode: batch of %d groups, n_pad=%d", G, n_pad)
+        debuglog(3, "turbo16 encode: batch of %d groups, n_pad=%d, big=%s",
+                 G, n_pad, big)
         t2 = n_pad // RANS16_STEP_SYMS
         hcap = _round8(n_pad // 128 + 16)
-        fc = np.zeros((G, 8, 128), np.int32)
-        mg = np.zeros((G, 8, 128), np.int32)
+        nch = 32 if big else 8
+        fc = np.zeros((G, nch, 128), np.int32)
+        mg = np.zeros((G, nch, 128), np.int32)
         srcw = np.zeros((G, t2 * 8, 128), np.int32)
         for j, (gi, chunk, (norm, ncount, mfs, tlog)) in enumerate(items):
-            fc[j], mg[j] = pack_rans16_ctables(norm)
+            if big:
+                from .rans_kernels import pack_rans16x_ctables
+
+                fc[j], mg[j] = pack_rans16x_ctables(norm)
+            else:
+                fc[j], mg[j] = pack_rans16_ctables(norm)
             pad = np.full(n_pad, mfs, np.uint16)
             pad[: len(chunk)] = chunk
             srcw[j] = pad.view("<u4").view(np.int32).reshape(t2 * 8, 128)
         stream, fin, csize, stots = rans_encode(
             jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw),
-            t2, hcap, interpret, True, RANS_TABLELOG, steptots)
+            t2, hcap, interpret, True, btlog, steptots)
         stream = np.asarray(stream)
         fin = np.asarray(fin)
         csize = np.asarray(csize)
@@ -394,7 +434,7 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
         pos += used
 
     pieces: list[np.ndarray | None] = [None] * len(groups)
-    batches: dict[tuple[int, int, bool], list[int]] = {}
+    batches: dict[tuple[int, int, bool, bool], list[int]] = {}
     for i, g in enumerate(groups):
         n, cs, tlog, flags, norm, max_sv, init, payload, stots = g
         if flags & 1:
@@ -402,24 +442,30 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
         elif flags & 2:
             pieces[i] = np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16)
         else:
-            batches.setdefault((_pad_n16(n), tlog, stots is not None),
-                               []).append(i)
+            batches.setdefault((_pad_n16(n), tlog, stots is not None,
+                                max_sv > 1023), []).append(i)
 
-    for (n_pad, tlog, have_tots), idxs in batches.items():
+    for (n_pad, tlog, have_tots, big), idxs in batches.items():
         G = len(idxs)
-        debuglog(3, "turbo16 decode: batch of %d groups, n_pad=%d, v2=%s",
-                 G, n_pad, have_tots)
+        debuglog(3, "turbo16 decode: batch of %d groups, n_pad=%d, v2=%s, "
+                 "big=%s", G, n_pad, have_tots, big)
         t2 = n_pad // RANS16_STEP_SYMS
         T = n_pad // 1024
         hrows = _round8(max((groups[i][1] + 127) // 128 for i in idxs) + 16)
-        tbl = np.zeros((G, 16, 128), np.int32)
+        tch = (1 << tlog) // 128
+        tbl = np.zeros((G, 2 * tch if big else tch, 128), np.int32)
         init_b = np.zeros((G, 8, 128), np.int32)
         hws = np.zeros((G, hrows, 128), np.int32)
         cs_b = np.zeros(G, np.int32)
         tots = np.zeros((G, T, 8), np.int32)
         for j, i in enumerate(idxs):
             n, cs, _tl, flags, norm, max_sv, init, payload, stots = groups[i]
-            tbl[j] = pack_rans16_dtable(norm)
+            if big:
+                from .rans_kernels import pack_rans16x_dtable
+
+                tbl[j] = pack_rans16x_dtable(norm, tlog)
+            else:
+                tbl[j] = pack_rans16_dtable(norm)
             init_b[j] = init.view(np.int32).reshape(8, 128)
             hw = np.frombuffer(payload, "<u2").astype(np.int32)
             hws[j].reshape(-1)[: len(hw)] = hw
@@ -430,9 +476,10 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
                   jnp.asarray(hws))
         if have_tots:  # v2 speed mode
             outw, err = rans_decode_v2(*common, jnp.asarray(tots),
-                                       t2, hrows, interpret, tlog, True)
+                                       t2, hrows, interpret, tlog, True, big)
         else:
-            outw, err = rans_decode(*common, t2, hrows, interpret, True, tlog)
+            outw, err = rans_decode(*common, t2, hrows, interpret, True, tlog,
+                                    big)
         err = np.asarray(err)
         if err.any():
             raise ValueError(

@@ -3,11 +3,12 @@
 The reference's fseU16 (lib/fseU16.c, alphabets > 256 for distance/length
 streams) maps to the same 1024-lane rANS machine with a wider symbol type:
 
-* maxSymbolValue <= 1023 (covers the reference's default 286,
-  lib/fseU16.h:50); larger alphabets fall back to the host twin
-  (refimpl/fseu16.py, which supports the reference's absolute max 4095).
-* tableLog 11; decode entry packs (cumul << 21) | (freq << 10) | sym — the
-  10/11/11 bit split is why maxSV caps at 1023.
+* maxSymbolValue <= 4095 (the reference's absolute max, fseU16.c:54).
+  Symbols <= 1023 run tableLog 11 with single-word decode entries
+  ((cumul << 21) | (freq << 10) | sym); 1024..4095 need tableLog 12-13
+  (FSE_minTableLog, same reason the reference's FSEU16 runs 12-13) and
+  split decode tables — (freq << 13) | (slot-cumul) plus a symbol plane —
+  because 12+13+13 bits don't fit one 32-bit entry.
 * each output i32 word carries 2 u16 symbols, so a supercycle is 2 steps:
   symbol i = 2*(t2*1024 + k) + p handled by lane k at step 2*t2 + p.
 
@@ -26,7 +27,11 @@ from .format import TURBO_LANES
 from .rans import RANS_L, RANS_TABLELOG, rans_freqs
 
 RANS16_MAGIC = 0x183EF003
-RANS16_MAX_SYMBOL = 1023
+RANS16_MAX_SYMBOL = 4095       # reference absolute max (fseU16.c:54); the
+                               # device kernels use split-table packing for
+                               # symbols > 1023 (r2) — no wire change, the
+                               # table builds from the NCount header
+RANS16_KERNEL_MAX_PACKED = 1023  # single-table (cumul<<21|freq<<10|sym) cap
 RANS16_STEP_SYMS = 2048        # symbols per supercycle (2 per lane slot)
 FLAG_RAW = 1
 FLAG_RLE = 2
@@ -75,15 +80,21 @@ def rans16_compress(symbols: np.ndarray, steptots: bool = True) -> bytes:
         return (_HDR.pack(RANS16_MAGIC, n, 0, 0, FLAG_RLE, 0)
                 + int(symbols[0]).to_bytes(2, "little") + b"\0" * 2)
 
-    table_log = min(RANS_TABLELOG, fse_optimal_table_log(RANS_TABLELOG, n, max_sv))
-    norm, table_log = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)
-    if table_log != RANS_TABLELOG:
-        norm, table_log = fse_normalize_count(RANS_TABLELOG, count[: max_sv + 1], n, max_sv)
+    # alphabets above 1023 need larger tables (FSE_minTableLog: tableLog >=
+    # highbit(maxSV)+2 — the reference's FSEU16 runs tableLog 12-13 for the
+    # same reason, fseU16.c:43-48)
+    tlog_req = (RANS_TABLELOG if max_sv <= 1023
+                else 12 if max_sv <= 2047 else 13)
+    norm, table_log = fse_normalize_count(
+        tlog_req, count[: max_sv + 1], n, max_sv, max_table_log=13)
+    if table_log != tlog_req:
+        norm, table_log = fse_normalize_count(
+            tlog_req, count[: max_sv + 1], n, max_sv, max_table_log=13)
     ncount = fse_write_ncount(norm, max_sv, table_log)
     freq, cumul = rans_freqs(np.asarray(norm))
     nsym = max_sv + 1
-    fr = np.ones(1024, np.int64)   # unused symbols: freq 1 avoids div-by-0
-    cu = np.zeros(1024, np.int64)
+    fr = np.ones(4096, np.int64)   # unused symbols: freq 1 avoids div-by-0
+    cu = np.zeros(4096, np.int64)
     fr[:nsym] = freq
     cu[:nsym] = cumul
 
@@ -164,7 +175,15 @@ def rans16_decompress(blob: bytes) -> np.ndarray:
     if flags & FLAG_RLE:
         return np.full(n, np.frombuffer(payload, "<u2")[0], np.uint16)
 
-    tbl = rans16_decode_table(norm, table_log).view(np.uint32).astype(np.uint64)
+    # twin-internal tables are plain arrays (any alphabet up to 4095); the
+    # kernels' bit-packed layouts are kernel-internal, not wire
+    freq, cumul = rans_freqs(norm)
+    m = 1 << table_log
+    bounds = np.concatenate([cumul, [m]])
+    sym_of = (np.searchsorted(bounds, np.arange(m), side="right") - 1)
+    f_of = freq[sym_of].astype(np.uint64)
+    c_of = cumul[sym_of].astype(np.uint64)
+    sym_of = sym_of.astype(np.uint64)
     hw = np.frombuffer(payload, dtype="<u2").astype(np.uint64)
     m_mask = np.uint64((1 << table_log) - 1)
 
@@ -175,10 +194,9 @@ def rans16_decompress(blob: bytes) -> np.ndarray:
     cursor = csize_hw
     for t in range(T):
         slot = x & m_mask
-        e = tbl[slot]
-        out[t] = (e & np.uint64(0x3FF)).astype(np.uint16)
-        f = (e >> np.uint64(10)) & np.uint64(0x7FF)
-        c = e >> np.uint64(21)
+        out[t] = sym_of[slot].astype(np.uint16)
+        f = f_of[slot]
+        c = c_of[slot]
         x = f * (x >> np.uint64(table_log)) + slot - c
         flag = x < np.uint64(RANS_L)
         if steptots is not None and not np.array_equal(

@@ -118,6 +118,41 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
     return prefix, scr_ref[0, 0], rowtot_b
 
 
+
+def _sym_advance(table_row_fn, tchunks, shape, thi, tlo, slot, x, tlog,
+                 u16, u16x):
+    """Table lookup + state advance for one decode step.
+
+    u16x (symbols 1024..4095): split tables — rows [0, tchunks) hold
+    e1 = (freq << 12) | j  (j = slot - cumul, precomputed), rows
+    [tchunks, 2*tchunks) hold the 12-bit symbol.  The symbol gather is off
+    the serial path (x depends only on e1)."""
+    def gather(off):
+        acc = jnp.zeros(shape, jnp.int32)
+        for h in range(tchunks):
+            row = jnp.broadcast_to(table_row_fn(off + h), shape)
+            acc = jnp.where(thi == h, jnp.take_along_axis(row, tlo, axis=1), acc)
+        return acc
+
+    if u16x:
+        e1 = gather(0)
+        j = e1 & 0x1FFF                 # slot - cumul, < 2^13 (tlog <= 13)
+        f = _srl(e1, 13)
+        x = f * _srl(x, tlog) + j
+        sym = gather(tchunks)
+        return sym, x
+    e = gather(0)
+    if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
+        sym = e & 0x3FF
+        f = _srl(e, 10) & 0x7FF
+        c = _srl(e, 21)
+    else:    # (cumul << 20) | (freq << 8) | sym, rans.py
+        sym = e & 0xFF
+        f = _srl(e, 8) & 0xFFF
+        c = _srl(e, 20)
+    return sym, f * _srl(x, tlog) + slot - c
+
+
 # ---------------------------------------------------------------------------
 # Decode
 # ---------------------------------------------------------------------------
@@ -125,7 +160,7 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
 
 def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
                         out_ref, scr_ref, *, t4_count, srows, u16=False,
-                        tlog=RANS_TABLELOG):
+                        tlog=RANS_TABLELOG, u16x=False):
     shape = (8, 128)
     g = pl.program_id(0)
     cursor0 = csize_ref[g]
@@ -139,19 +174,8 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
         slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
-        e = jnp.zeros(shape, jnp.int32)
-        for h in range(tchunks):
-            trow = jnp.broadcast_to(table_ref[0, h : h + 1, :], shape)
-            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
-            sym = e & 0x3FF
-            f = _srl(e, 10) & 0x7FF
-            c = _srl(e, 21)
-        else:    # (cumul << 20) | (freq << 8) | sym, rans.py
-            sym = e & 0xFF
-            f = _srl(e, 8) & 0xFFF
-            c = _srl(e, 20)
-        x = f * _srl(x, tlog) + slot - c
+        sym, x = _sym_advance(lambda h: table_ref[0, h : h + 1, :], tchunks,
+                              shape, thi, tlo, slot, x, tlog, u16, u16x)
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
         pos = cursor - rank
@@ -194,10 +218,11 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
     out_ref[pl.ds(t4_count * 8 + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def rans_decode(csize_hw, tables, init_states, streams,
                 t4_count: int, hrows: int, interpret: bool = False,
-                u16: bool = False, tlog: int = RANS_TABLELOG):
+                u16: bool = False, tlog: int = RANS_TABLELOG,
+                u16x: bool = False):
     """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
     bits); streams[G,hrows,128] i32 (halfword-expanded payload).
     Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
@@ -205,7 +230,7 @@ def rans_decode(csize_hw, tables, init_states, streams,
     rows = t4_count * 8 + 16
     srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
     kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
-                             srows=srows, u16=u16, tlog=tlog)
+                             srows=srows, u16=u16, tlog=tlog, u16x=u16x)
     tch = tables.shape[1]
     # pack stream halfwords 2-per-word (little-endian pair order)
     hw = streams.reshape(G, hrows * 128)
@@ -260,7 +285,7 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
         r = jnp.where(big, r - f, r)
         return q, r
 
-    n_sym_chunks = 8 if u16 else 2
+    n_sym_chunks = fc_ref.shape[1]   # 2 (bytes), 8 (u16<=1023), 32 (u16 4k)
 
     def step(x, cursor, tile, t, word, p):
         if u16:
@@ -277,8 +302,12 @@ def _rans_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, scr_ref,
             hit = shi == h
             e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
             m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
-        f = e & 0xFFF
-        c = _srl(e, 12) & 0xFFF
+        if n_sym_chunks == 32:     # wide u16 tables: 14-bit fields
+            f = e & 0x3FFF
+            c = _srl(e, 14)
+        else:
+            f = e & 0xFFF
+            c = _srl(e, 12) & 0xFFF
 
         flag = _uge(x, _sll(f, thresh_shift))
         emit = x & 0xFFFF
@@ -435,7 +464,7 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
         r = jnp.where(big, r - f, r)
         return q, r
 
-    n_sym_chunks = 8 if u16 else 2
+    n_sym_chunks = fc_ref.shape[1]   # 2 (bytes), 8 (u16<=1023), 32 (u16 4k)
 
     def step(x, cursor, tile, t, word, p):
         if u16:
@@ -452,8 +481,12 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
             hit = shi == h
             e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
             m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
-        f = e & 0xFFF
-        cu = _srl(e, 12) & 0xFFF
+        if n_sym_chunks == 32:     # wide u16 tables: 14-bit fields
+            f = e & 0x3FFF
+            cu = _srl(e, 14)
+        else:
+            f = e & 0xFFF
+            cu = _srl(e, 12) & 0xFFF
 
         flag = _uge(x, _sll(f, thresh_shift))
         emit = x & 0xFFFF
@@ -661,6 +694,37 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
     return fc.reshape(8, 128), magic.reshape(8, 128)
 
 
+def pack_rans16x_dtable(norm, tlog: int) -> np.ndarray:
+    """[2*(2^tlog/128),128] i32 split decode table for symbols up to 4095:
+    rows [0, tch) hold e1 = (freq << 13) | (slot - cumul), rows [tch, 2tch)
+    the 12-bit symbol (the fields don't fit one 32-bit entry; alphabets
+    above 1023 also need tableLog 12-13, fseU16.c:43-48)."""
+    freq, cumul = rans_freqs(np.asarray(norm))
+    m = 1 << tlog
+    tch = m // 128
+    bounds = np.concatenate([cumul, [m]])
+    slots = np.arange(m)
+    sym = np.searchsorted(bounds, slots, side="right") - 1
+    j = slots - cumul[sym]
+    e1 = ((freq[sym] << 13) | j).astype(np.int32)
+    return np.concatenate(
+        [e1.reshape(tch, 128), sym.astype(np.int32).reshape(tch, 128)], axis=0)
+
+
+def pack_rans16x_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
+    """((cumul<<14)|freq)[32,128], magic[32,128] — 4096-symbol encode
+    tables; 14-bit fields fit tableLog up to 13 (freq/cumul < 2^14)."""
+    freq, cumul = rans_freqs(np.asarray(norm))
+    f = np.ones(4096, np.int64)
+    c = np.zeros(4096, np.int64)
+    f[: len(freq)] = freq
+    c[: len(cumul)] = cumul
+    f = np.maximum(f, 1)
+    fc = ((c << 14) | f).astype(np.int32)
+    magic = np.minimum(2**32 // f, 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return fc.reshape(32, 128), magic.reshape(32, 128)
+
+
 # ---------------------------------------------------------------------------
 # Decode v2: per-step renorm counts shipped in the stream (FLAG_STEPTOTS)
 # move the rank row-offsets and the cursor chain OFF the serial path — they
@@ -672,7 +736,7 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
                            out_ref, *, t4_count, srows, nway, u16=False,
-                           tlog=RANS_TABLELOG):
+                           tlog=RANS_TABLELOG, u16x=False):
     """N independent groups per kernel instance: their chains interleave,
     hiding each other's lookup/gather/matmul latencies (6-way measured
     ~2.1x one-way; VMEM limits pick nway).
@@ -704,19 +768,8 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
-        e = jnp.zeros(shape, jnp.int32)
-        for h in range(tchunks):
-            trow = jnp.broadcast_to(table_ref[gg, h : h + 1, :], shape)
-            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        if u16:  # (cumul << 21) | (freq << 10) | sym, rans16.py
-            sym = e & 0x3FF
-            f = _srl(e, 10) & 0x7FF
-            c = _srl(e, 21)
-        else:    # (cumul << 20) | (freq << 8) | sym, rans.py
-            sym = e & 0xFF
-            f = _srl(e, 8) & 0xFFF
-            c = _srl(e, 20)
-        x = f * _srl(x, tlog) + slot - c
+        sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
+                              shape, thi, tlo, slot, x, tlog, u16, u16x)
         flag = _srl(x, 16) == 0
         # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127 (the
         # encoder's section layout); hi/lo split keeps bf16 exact
@@ -771,7 +824,7 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
 
 def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
                             out_ref, *, t4_count, srows, nway, u16=False,
-                            tlog=RANS_TABLELOG):
+                            tlog=RANS_TABLELOG, u16x=False):
     """Totals-only (FLAG_TOTALS) variant: the wire ships one u16 renorm
     total per step, so cursors still precompute in XLA but the per-ROW
     offsets are recomputed in-kernel with the encode-side 2-matmul prefix
@@ -789,19 +842,8 @@ def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
         slot = x & (tsize - 1)
         thi = _srl(slot, 7)
         tlo = slot & 127
-        e = jnp.zeros(shape, jnp.int32)
-        for h in range(tchunks):
-            trow = jnp.broadcast_to(table_ref[gg, h : h + 1, :], shape)
-            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        if u16:
-            sym = e & 0x3FF
-            f = _srl(e, 10) & 0x7FF
-            c = _srl(e, 21)
-        else:
-            sym = e & 0xFF
-            f = _srl(e, 8) & 0xFFF
-            c = _srl(e, 20)
-        x = f * _srl(x, tlog) + slot - c
+        sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
+                              shape, thi, tlo, slot, x, tlog, u16, u16x)
         flag = _srl(x, 16) == 0
         # flat inclusive rank: within-row matmul + tril8 row-offset matmul
         aug = jax.lax.dot_general(
@@ -861,10 +903,11 @@ def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    t4_count: int, hrows: int, interpret: bool = False,
-                   tlog: int = RANS_TABLELOG, u16: bool = False):
+                   tlog: int = RANS_TABLELOG, u16: bool = False,
+                   u16x: bool = False):
     """v2 decode.  steptots is either [G, T, 8] per-row renorm counts
     (FLAG_STEPTOTS wire) or [G, T] per-step totals (FLAG_TOTALS wire — the
     row offsets are then recomputed in-kernel).
@@ -914,7 +957,8 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     ]
     if totals_only:
         kern = functools.partial(_rans_decode_v2t_kernel, t4_count=t4_count,
-                                 srows=srows, nway=nway, u16=u16, tlog=tlog)
+                                 srows=srows, nway=nway, u16=u16, tlog=tlog,
+                                 u16x=u16x)
         in_specs = common_specs + [
             pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ]
@@ -929,7 +973,8 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                 .transpose(0, 1, 3, 2)
                 .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
         kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
-                                 srows=srows, nway=nway, u16=u16, tlog=tlog)
+                                 srows=srows, nway=nway, u16=u16, tlog=tlog,
+                                 u16x=u16x)
         in_specs = common_specs + [
             pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),

@@ -65,3 +65,31 @@ def test_device_decode_rejects_corruption(fse_codec):
     frame[30] ^= 0x10
     with pytest.raises(Exception):
         fio.decompress_bytes(bytes(frame), decompressor=fse_codec.decompress_blocks)
+
+
+def test_huf_x2_device_decoder_matches_twin():
+    """VERDICT r1 item 7: huf_decode_4x2_batch differential-tested vs the
+    twin — X2 and X1 device decoders produce identical bytes."""
+    x2 = HufTpuCodec(block_size=BS, decoder="x2")
+    dev = fio.compress_bytes(DATA, "huf", block_size_id=2,
+                             compressor=HufTpuCodec(block_size=BS).compress_blocks)
+    host = fio.decompress_bytes(dev)
+    assert fio.decompress_bytes(dev, decompressor=x2.decompress_blocks) == host == DATA
+
+
+def test_huf_x2_ragged_last_symbol_paths():
+    """Odd-length segments exercise the decodeLastSymbolX2 rule (a final
+    length-2 entry writes one byte, huf_decompress.c:668-682)."""
+    x2 = HufTpuCodec(block_size=BS, decoder="x2")
+    for n in (BS - 1, BS - 3, 1021, 517):
+        data = generate_proba(80)[:n]
+        blob = fio.compress_bytes(data, "huf", block_size_id=2)
+        assert fio.decompress_bytes(blob, decompressor=x2.decompress_blocks) == data
+
+
+def test_huf_x2_rejects_corruption():
+    x2 = HufTpuCodec(block_size=BS, decoder="x2")
+    frame = bytearray(fio.compress_bytes(DATA[:BS], "huf", block_size_id=2))
+    frame[len(frame) // 2] ^= 0x40
+    with pytest.raises(Exception):
+        fio.decompress_bytes(bytes(frame), decompressor=x2.decompress_blocks)

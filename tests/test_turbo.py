@@ -364,3 +364,34 @@ def test_large_group_guards_and_tail_split():
         turbo_compress_device(b"x" * 100, group_size=5 << 20)
     with pytest.raises(ValueError, match="multiple of 1 MiB"):
         turbo_compress_device(b"x" * 100, group_size=(1 << 20) + (1 << 19))
+
+
+def test_turbo16_big_alphabet_device_interpret():
+    """VERDICT r1 item 8: device kernels for fseU16-class symbols in
+    1024..4095 (split-table packing; reference allows 4095, fseU16.c:54)."""
+    from finitestateentropy_tpu.turbo.api import (turbo16_compress_device,
+                                                  turbo16_decompress_device)
+    from finitestateentropy_tpu.turbo.rans16 import (rans16_compress,
+                                                     rans16_decompress)
+
+    rng = np.random.default_rng(21)
+    big = np.clip((rng.pareto(1.0, 12000) * 300).astype(np.int64),
+                  0, 4095).astype(np.uint16)
+    assert int(big.max()) > 1023      # actually exercises the wide path
+    # twin round-trip at the extended alphabet
+    blob_t = rans16_compress(big)
+    assert np.array_equal(rans16_decompress(blob_t), big)
+    # device kernels, both wire modes; device bytes == twin bytes
+    for steptots in (True, False):
+        dev = turbo16_compress_device(big, interpret=True, steptots=steptots)
+        twin = rans16_compress(big, steptots=steptots)
+        assert dev == twin
+        assert np.array_equal(turbo16_decompress_device(dev, interpret=True),
+                              big)
+    # mixed alphabets in one stream batch separately and reassemble
+    small = np.clip((rng.pareto(1.2, 6000) * 40).astype(np.int64),
+                    0, 1000).astype(np.uint16)
+    mixed = np.concatenate([small, big])
+    dev = turbo16_compress_device(mixed, group_syms=6000, interpret=True)
+    assert np.array_equal(turbo16_decompress_device(dev, interpret=True),
+                          mixed)
