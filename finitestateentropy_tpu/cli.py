@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, default=0, help="data-parallel device count")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
+    p.add_argument("rest", nargs="*",
+                   help="additional files (benchmark mode only)")
     return p
 
 
@@ -126,11 +128,20 @@ def main(argv=None) -> int:
     if args.bench:
         from .benchmarks.blockbench import bench_files
 
-        return bench_files([args.input] + ([args.output] if args.output else []),
-                           codec=args.codec or "fse", iters=args.iters,
+        # reference parity: -i accepts 1..9 only (commandline.c:228-233);
+        # bench mode takes a multi-file list
+        iters = min(max(args.iters, 1), 9)
+        files = ([args.input] + ([args.output] if args.output else [])
+                 + list(args.rest))
+        return bench_files(files,
+                           codec=args.codec or "fse", iters=iters,
                            block_size=_parse_bsize(args.bsize) if args.bsize else 32768,
                            device=args.device)
 
+    if args.rest:
+        print("too many arguments (multi-file lists are bench-mode only, "
+              "as in the reference CLI)", file=sys.stderr)
+        return 1
     if not args.input:
         print("missing input file", file=sys.stderr)
         return 1

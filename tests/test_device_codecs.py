@@ -93,3 +93,25 @@ def test_huf_x2_rejects_corruption():
     frame[len(frame) // 2] ^= 0x40
     with pytest.raises(Exception):
         fio.decompress_bytes(bytes(frame), decompressor=x2.decompress_blocks)
+
+
+def test_on_device_histogram():
+    """SURVEY #6: the on-device histogram (blocked in r1 by a Mosaic
+    relayout crash, fixed in the r2 toolchain) matches exact counts."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.ops.hist import (hist_count_batch,
+                                                 hist_count_masked)
+
+    rng = np.random.default_rng(17)
+    d = rng.integers(0, 256, (4, 20000), np.uint8)
+    got = np.asarray(hist_count_batch(jnp.asarray(d)))
+    ref = np.stack([np.bincount(d[g], minlength=256) for g in range(4)])
+    assert np.array_equal(got, ref)
+    # ragged masking
+    lens = np.array([20000, 12345, 1, 0], np.int32)
+    got2 = np.asarray(hist_count_masked(jnp.asarray(d), 20000,
+                                        jnp.asarray(lens)))
+    ref2 = np.stack([np.bincount(d[g, : lens[g]], minlength=256)
+                     for g in range(4)])
+    assert np.array_equal(got2, ref2)

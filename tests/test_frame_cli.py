@@ -100,3 +100,18 @@ def test_cli_turbo_table_log_warns_on_native_fallback(tmp_path, capsys):
                  str(tmp_path / "x.tfse")]) == 0
     err = capsys.readouterr().err
     assert "-M 9" in err and "tableLog" in err
+
+
+def test_cli_bench_mode_parity(tmp_path, capsys):
+    """Reference parity: -i clamps to [1,9], bench takes multi-file lists,
+    and file lists outside bench mode are rejected."""
+    from finitestateentropy_tpu.cli import main
+
+    a, b, c = tmp_path / "a.bin", tmp_path / "b.bin", tmp_path / "c.bin"
+    for f in (a, b, c):
+        f.write_bytes(generate_proba(80)[:8192])
+    assert main(["-b", "-i", "99", str(a), str(b), str(c)]) == 0
+    err = capsys.readouterr().err
+    assert err.count("a.bin") + err.count("b.bin") + err.count("c.bin") >= 3
+    # multi-file outside bench mode -> error
+    assert main(["-e", "-f", str(a), str(b), str(c)]) == 1
