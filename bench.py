@@ -253,25 +253,48 @@ def bench_mixed(g_small: int, g_big: int):
     blob = turbo_compress_device(data[: 4 << 20], group_size=1 << 20)
     assert turbo_decompress_device(blob) == data[: 4 << 20]
 
-    # end-to-end timing via the native host path (this box reaches the TPU
-    # through a tunnel whose transfer cost would dominate; kernel-level
-    # device rates are the per-corpus lines above)
+    # device-path END-TO-END (parse + threaded table/payload staging +
+    # kernels + assembly), slope-measured across two corpus sizes so the
+    # tunnel's fixed per-call overhead cancels — the honest e2e number for
+    # a real TPU host
+    def e2e(mult):
+        d = data * mult
+        t0 = time.perf_counter()
+        b = turbo_compress_device(d, group_size=1 << 20)
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        o = turbo_decompress_device(b)
+        t_dec = time.perf_counter() - t0
+        assert o == d
+        return len(d), t_enc, t_dec, len(b)
+
+    e2e(1)  # warm compiles
+    best = (0, 0)
+    for _ in range(2):
+        n1, te1, td1, _ = e2e(1)
+        n3, te3, td3, nb = e2e(3)
+        best = (max(best[0], (n3 - n1) / (te3 - te1)),
+                max(best[1], (n3 - n1) / (td3 - td1)))
+    dev_enc, dev_dec = best
+    log(f"mixed  : auto-coded ratio {len(data)*3/nb:.2f}; device end-to-end "
+        f"enc {dev_enc/1e9:.2f} GB/s dec {dev_dec/1e9:.2f} GB/s (slope; "
+        f"BOUND BY THIS BOX'S TUNNEL — host<->device link measures only "
+        f"~40-65 MB/s here, so e2e reflects the link, not the framework)")
+
+    # native host path for comparison (single core on this box)
     from finitestateentropy_tpu import native
 
     if native.available():
-        import time as _t
-
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
         nblob = native.rans_compress_native(data, group_size=1 << 20)
-        t_enc = _t.perf_counter() - t0
-        t0 = _t.perf_counter()
+        t_enc = time.perf_counter() - t0
+        t0 = time.perf_counter()
         out = native.rans_decompress_native(nblob)
-        t_dec = _t.perf_counter() - t0
+        t_dec = time.perf_counter() - t0
         assert out == data
-        log(f"mixed  : auto-coded ratio {len(data)/len(nblob):.2f}; host-native "
-            f"end-to-end enc {len(data)/t_enc/1e6:.0f} MB/s dec {len(data)/t_dec/1e6:.0f} MB/s")
-    else:
-        log(f"mixed  : auto-coded ratio {len(data[:4<<20])/len(blob):.2f} (device kernels ok)")
+        log(f"mixed  : host-native end-to-end enc {len(data)/t_enc/1e6:.0f} "
+            f"MB/s dec {len(data)/t_dec/1e6:.0f} MB/s (1 core)")
+    return dev_dec / 1e9
 
 
 def compat_check():

@@ -187,3 +187,62 @@ def test_turbo_truncated_blob_errors():
 
 
 
+
+def test_turbo_fuzz_all_wire_modes(corpora):
+    """r2 wires: FLAG_TOTALS and ratio mode round-trip and reject
+    corruption like the legacy FLAG_STEPTOTS wire."""
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+
+    rng = np.random.default_rng(SEED + 8)
+    for it in range(6):
+        src = _random_slice(rng, corpora)
+        for kw in ({"steptots": False}, {"totals_only": True}, {}):
+            blob = rans_compress(src, **kw)
+            assert rans_decompress(blob) == src, (it, kw)
+            if len(blob) > 6200:
+                b = bytearray(blob)
+                b[-int(rng.integers(1, 16))] ^= 0x08
+                with pytest.raises((ValueError, FSEError)):
+                    rans_decompress(bytes(b))
+
+
+def test_turbo16_big_alphabet_fuzz():
+    """u16 alphabets spanning the 1023/1024 packing boundary and up to
+    4095 round-trip and reject corruption (twin; device is differential-
+    tested in test_turbo.py)."""
+    from finitestateentropy_tpu.turbo.rans16 import (rans16_compress,
+                                                     rans16_decompress)
+
+    rng = np.random.default_rng(SEED + 9)
+    for max_val in (1023, 1024, 2047, 2048, 4095):
+        s = np.clip((rng.pareto(0.9, 5000) * max_val / 12).astype(np.int64),
+                    0, max_val).astype(np.uint16)
+        s[0] = max_val  # pin the alphabet top
+        blob = rans16_compress(s)
+        assert np.array_equal(rans16_decompress(blob), s), max_val
+        if blob[13] & 3:        # RAW/RLE groups carry no group-level check
+            continue            # (the frame CRC covers them)
+        b = bytearray(blob)
+        b[-3] ^= 0x11
+        with pytest.raises((ValueError, FSEError)):
+            rans16_decompress(bytes(b))
+
+
+def test_turbo_garbage_never_overreads():
+    """Random garbage with a valid magic must raise, never crash or return
+    silently (fuzzer.c:252-262 analogue for the turbo wire)."""
+    import struct
+
+    from finitestateentropy_tpu.turbo.rans import RANS_MAGIC, rans_decompress
+
+    rng = np.random.default_rng(SEED + 10)
+    for it in range(20):
+        body = rng.integers(0, 256, int(rng.integers(20, 9000)),
+                            dtype=np.uint8).tobytes()
+        blob = struct.pack("<I", RANS_MAGIC) + body
+        try:
+            out = rans_decompress(blob)
+            assert len(out) < 1 << 24  # coherent size if it "succeeds"
+        except (ValueError, FSEError, AssertionError, IndexError,
+                struct_error):
+            pass
