@@ -17,3 +17,16 @@ from .format import (  # noqa: F401
     turbo_fse_compress,
     turbo_fse_decompress,
 )
+
+
+def __getattr__(name):  # lazy: keep `import finitestateentropy_tpu` jax-free
+    if name in ("turbo_compress_device", "turbo_decompress_device",
+                "turbo16_compress_device", "turbo16_decompress_device"):
+        from . import api
+
+        return getattr(api, name)
+    if name in ("rans_compress_resident", "rans_decompress_resident"):
+        from . import device_api
+
+        return getattr(device_api, name)
+    raise AttributeError(name)
