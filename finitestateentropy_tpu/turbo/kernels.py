@@ -12,6 +12,14 @@ buffer needs no transpose.
 
 The chain math mirrors fse_decompress.c:116-123 exactly (same tables); only
 the interleave differs.
+
+Role in the family (r2): this tANS variant is the BIT-GRANULAR wire — no
+16-bit renorm rounding — and therefore the ratio ceiling of lane-interleaved
+formats (8.82 on Proba80 at 4 MiB groups vs rANS ratio-mode's 8.80 and the
+reference's 8.84; PERFORMANCE.md "parallelism tax").  Production uses the
+rANS kernels because halfword-aligned renorm makes both coder directions
+single-gather; this kernel is kept as the measured evidence that
+bit-granularity buys only ~0.02 of ratio at 50x the decode cost.
 """
 from __future__ import annotations
 
