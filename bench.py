@@ -29,7 +29,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _prep(group_bytes: int, proba: int):
+def _prep(group_bytes: int, proba: int, tlog: int = 10):
     from finitestateentropy_tpu.turbo.api import _hrows_cap, _prep_group, _round8
     from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
     from finitestateentropy_tpu.turbo.rans_kernels import (
@@ -39,7 +39,7 @@ def _prep(group_bytes: int, proba: int):
     base = generate_proba(proba)
     data = (base * ((group_bytes // len(base)) + 1))[:group_bytes]
     src = np.frombuffer(data, np.uint8)
-    norm, max_sv, ncount, mfs = _prep_group(src)
+    norm, max_sv, ncount, mfs = _prep_group(src, tlog)
     n_pad = _pad_n(group_bytes)
     t4 = n_pad // TURBO_STEP_SYMS
     pad = np.full(n_pad, mfs, np.uint8)
@@ -48,7 +48,7 @@ def _prep(group_bytes: int, proba: int):
         data=data, norm=norm, t4=t4, hcap=_hrows_cap(n_pad),
         fc_mg=pack_rans_ctables(norm), dtbl=pack_rans_dtable(norm),
         srcw=pad.view("<u4").view(np.int32).reshape(t4 * 8, 128),
-        round8=_round8,
+        round8=_round8, tlog=tlog,
     )
 
 
@@ -67,9 +67,10 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
                                                            rans_encode)
 
+    # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG)
     p = _prep(group_bytes, proba)
     fc, mg = p["fc_mg"]
-    t4, hcap = p["t4"], p["hcap"]
+    t4, hcap, tlog = p["t4"], p["hcap"], p["tlog"]
 
     def enc_args(G):
         return (
@@ -83,11 +84,13 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     enc_out = {}
     for G in (g_small, g_big):
         a = enc_args(G)
-        stream, fin, csize, stots = rans_encode(*a, t4, hcap)  # compile+warm
+        stream, fin, csize, stots = rans_encode(*a, t4, hcap, False, False,
+                                                tlog)  # compile+warm
         cs = int(np.asarray(csize)[0])
         enc_out[G] = (np.asarray(stream)[0].reshape(-1)[:cs], np.asarray(fin)[0],
                       cs, np.asarray(stots)[0])
-        times[G] = _time(lambda a=a: rans_encode(*a, t4, hcap)[2],
+        times[G] = _time(lambda a=a: rans_encode(*a, t4, hcap, False, False,
+                                                 tlog)[2],
                          lambda x: np.asarray(x))
     enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
     hw, fin, cs, stots0 = enc_out[g_big]
@@ -99,23 +102,25 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     # --- decode
     hrows = p["round8"]((cs + 127) // 128 + 16)
     dt = {}
+    tch = p["dtbl"].shape[0]
     for G in (g_small, g_big):
         hws = np.zeros((G, hrows, 128), np.int32)
         hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
         args = (
             jnp.asarray(np.full(G, cs, np.int32)),
-            jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+            jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
             jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
             jnp.asarray(hws),
             jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
         )
-        outw, err = rans_decode_v2(*args, t4, hrows)
+        outw, err = rans_decode_v2(*args, t4, hrows, False, tlog)
         if G == g_small:
             e = np.asarray(err)
             assert not e.any(), "decode error flags set"
             ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
             assert ob == p["data"], "decode mismatch"
-        dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows)[1],
+        dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows, False,
+                                                    tlog)[1],
                       lambda x: np.asarray(x))
     dec_gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
     log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s  "
@@ -134,7 +139,8 @@ def bench_group_sweep():
                                                            rans_encode2)
 
     for mb, g_small, g_big in ((2, 2, 8), (4, 2, 6)):
-        p = _prep(mb << 20, 80)
+        # ratio sweep runs reference-parity tables (tableLog 11)
+        p = _prep(mb << 20, 80, tlog=11)
         fc, mg = p["fc_mg"]
         t4, hcap = p["t4"], p["hcap"]
         a = (jnp.asarray(np.broadcast_to(fc, (g_big, 2, 128)).copy()),
@@ -362,7 +368,7 @@ def main():
             log("compat check failed:", e)
 
     print(json.dumps({
-        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups (enc/ratio stderr)",
+        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups, production speed wire (enc/ratio stderr)",
         "value": round(dec, 4),
         "unit": "GB/s",
         "vs_baseline": round(dec / REF_GBPS["fse_dec"], 3),

@@ -74,7 +74,7 @@ def _pad_groups(arrs, m: int):
 
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
-                          table_log: int = RANS_TABLELOG,
+                          table_log: int = 0,
                           steptots: bool = True, mesh: int = 0,
                           totals_only: bool = False) -> bytes:
     """Compress with the TurboRANS Pallas encode kernel.
@@ -86,8 +86,13 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     decoder's rank needs two chained matmuls instead of one fused one).
     mesh > 1 shards group batches data-parallel over that many devices
     (the reference's block-independence seam, fileio.c:292, at group
-    granularity)."""
+    granularity).  table_log=0 = mode default (10 speed / 11 ratio)."""
     import jax.numpy as jnp
+
+    from .rans import RANS_SPEED_TABLELOG
+
+    if table_log == 0:
+        table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
 
     if group_size > MAX_GROUP:
         # the packed out buffer (2 bytes/input byte resident in VMEM)

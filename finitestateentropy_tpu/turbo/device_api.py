@@ -38,7 +38,7 @@ def _round8(x: int) -> int:
 
 
 def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
-                           table_log: int = RANS_TABLELOG,
+                           table_log: int = 0,
                            steptots: bool = True,
                            totals_only: bool = False,
                            interpret: bool | None = None) -> bytes:
@@ -51,7 +51,10 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if table_log == 0:
+        from .rans import RANS_SPEED_TABLELOG
 
+        table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
     n = int(x.shape[0])
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)

@@ -45,7 +45,9 @@ from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_LANES, TURBO_STEP_SYMS, _lane_view, _pad_n, _unlane_view
 
 RANS_MAGIC = 0x183EF002
-RANS_TABLELOG = 11
+RANS_TABLELOG = 11        # ratio-mode default (reference-parity tables)
+RANS_SPEED_TABLELOG = 10  # speed-mode default: 8-chunk lookups decode ~30%
+                          # faster for ~0.1% ratio (PERFORMANCE.md r2 sweep)
 RANS_L = 1 << 16
 FLAG_RAW = 1
 FLAG_RLE = 2
@@ -75,14 +77,19 @@ def rans_decode_table(norm: np.ndarray, table_log: int) -> np.ndarray:
     return e.astype(np.int64).astype(np.uint32).view(np.int32)
 
 
-def rans_compress(data: bytes, table_log: int = RANS_TABLELOG,
+def rans_compress(data: bytes, table_log: int = 0,
                   steptots: bool = True, totals_only: bool = False) -> bytes:
     """steptots=True emits the speed-mode section.  totals_only picks the
     wire: False (default) ships 8 u8 row counts per step (FLAG_STEPTOTS) —
     the fastest decode (rank folds into ONE fused matmul); True ships 1 u16
     total per step (FLAG_TOTALS) — 4x smaller section, but the decoder must
     recompute row offsets with two chained matmuls on the serial path
-    (~0.4x decode speed; the middle ratio/speed mode)."""
+    (~0.4x decode speed; the middle ratio/speed mode).
+
+    table_log=0 picks the mode default: RANS_SPEED_TABLELOG (10) with a
+    speed section, RANS_TABLELOG (11) in ratio mode."""
+    if table_log == 0:
+        table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
     n = len(data)
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)

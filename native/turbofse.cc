@@ -25,7 +25,8 @@ namespace {
 
 constexpr int kLanes = 1024;
 constexpr int kStepSyms = 4096;      // 4 bytes per lane slot per supercycle
-constexpr int kTableLog = 11;
+constexpr int kTableLog = 11;      // the native ENCODER's tableLog
+constexpr int kMaxTableLog = 13;   // decoder accepts any wire tableLog
 constexpr uint32_t kMagic = 0x183EF002u;
 constexpr uint32_t kL = 1u << 16;    // rANS lower bound
 constexpr int kMinTableLog = 5;
@@ -363,7 +364,7 @@ int64_t tfse_version() { return 2; }
 int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
                         int16_t* norm_out, uint8_t* ncount_out,
                         int64_t* meta) {
-  if (n == 0 || tlog != kTableLog) return -1;
+  if (n == 0 || tlog < kMinTableLog || tlog > kMaxTableLog) return -1;
   uint32_t count[256];
   histogram(src, n, count);
   int max_sv = 255;
@@ -374,9 +375,9 @@ int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
     if (count[s] > max_count) { max_count = count[s]; mfs = s; }
   if (max_count == n) return 0;  // RLE
   int16_t norm[256];
-  if (normalize_count(norm, kTableLog, count, n, max_sv) != kTableLog)
+  if (normalize_count(norm, tlog, count, n, max_sv) != tlog)
     return -1;
-  int nc_len = write_ncount(ncount_out, 512, norm, max_sv, kTableLog);
+  int nc_len = write_ncount(ncount_out, 512, norm, max_sv, tlog);
   if (nc_len < 0) return -1;
   std::memcpy(norm_out, norm, sizeof(int16_t) * (max_sv + 1));
   meta[0] = max_sv;
@@ -559,7 +560,8 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   int max_sv = 0, tl = 0;
   int avail = int(len - pos < 520 ? len - pos : 520);
   int used = read_ncount(norm, &max_sv, &tl, blob + pos, avail, 255);
-  if (used < 0 || tl != h.table_log || tl != kTableLog) return -4;
+  if (used < 0 || tl != h.table_log) return -4;
+  if (tl < kMinTableLog || tl > kMaxTableLog) return -4;
   int nc_pad = (int(h.ncount_len) + 3) & ~3;
   pos += nc_pad;
   if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap) return -3;
@@ -579,7 +581,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   pos += 2 * h.csize_hw;
 
   // decode table packed as in the kernel: (slot-cumul) << 20 | freq << 8 | sym
-  static thread_local uint32_t tbl[1 << kTableLog];
+  static thread_local uint32_t tbl[1 << kMaxTableLog];
   {
     int slot = 0;
     for (int s = 0; s <= max_sv; ++s) {
@@ -587,7 +589,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
       for (int j = 0; j < f; ++j, ++slot)
         tbl[slot] = (uint32_t(j) << 20) | (uint32_t(f) << 8) | uint32_t(s);
     }
-    if (slot != (1 << kTableLog)) return -4;
+    if (slot != (1 << tl)) return -4;
   }
 
   uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
@@ -603,10 +605,10 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     // pass 1: advance all lanes (vectorizable — no cross-lane dependence)
     for (int k = 0; k < kLanes; ++k) {
       uint32_t xv = x[k];
-      uint32_t slot = xv & ((1u << kTableLog) - 1);
+      uint32_t slot = xv & ((1u << tl) - 1);
       uint32_t e = tbl[slot];
       syms[k] = uint8_t(e);
-      xv = ((e >> 8) & 0xFFF) * (xv >> kTableLog) + (e >> 20);
+      xv = ((e >> 8) & 0xFFF) * (xv >> tl) + (e >> 20);
       flags[k] = xv < kL;
       x[k] = xv;
     }

@@ -82,3 +82,18 @@ def test_native_corruption_detected():
     blob[-5] ^= 0x20
     with pytest.raises(ValueError):
         native.rans_decompress_native(bytes(blob))
+
+
+def test_native_decodes_speed_tablelog_frames():
+    """r2: the speed-mode default moved to tableLog 10; the native decoder
+    accepts any wire tableLog in [5, 13] (it rebuilds tables per group)."""
+    from finitestateentropy_tpu import native
+    from finitestateentropy_tpu.turbo.rans import rans_compress
+    from finitestateentropy_tpu.utils import generate_proba
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = generate_proba(80)[:131072]
+    for tlog in (0, 9, 10, 12):   # 0 = mode default (10)
+        blob = rans_compress(data, table_log=tlog)
+        assert native.rans_decompress_native(blob) == data, tlog
