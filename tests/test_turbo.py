@@ -395,3 +395,19 @@ def test_turbo16_big_alphabet_device_interpret():
     dev = turbo16_compress_device(mixed, group_syms=6000, interpret=True)
     assert np.array_equal(turbo16_decompress_device(dev, interpret=True),
                           mixed)
+
+
+def test_default_wire_tablelogs():
+    """r2 defaults: speed wire = tableLog 10 (RANS_SPEED_TABLELOG), ratio
+    wire = 11; explicit -M wins."""
+    from finitestateentropy_tpu.turbo.rans import (RANS_SPEED_TABLELOG,
+                                                   parse_rans_group,
+                                                   rans_compress)
+
+    data = generate_proba(80)[:40960]
+    g, _ = parse_rans_group(rans_compress(data))
+    assert g[2] == RANS_SPEED_TABLELOG == 10
+    g, _ = parse_rans_group(rans_compress(data, steptots=False))
+    assert g[2] == 11
+    g, _ = parse_rans_group(rans_compress(data, table_log=12))
+    assert g[2] == 12
