@@ -896,8 +896,10 @@ def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
 
     6-way at ~1.4 MiB/group compiles and is the measured throughput peak on
     the v5e (probe_decode_v3: 4-way 9.9, 6-way 12.0, 8-way fails/regresses);
-    1-way still fits groups up to ~4 MiB (host encoders have no VMEM cap)."""
-    for nway in (6, 4, 2):
+    intermediate widths serve corpora whose larger streams push a group
+    just past a power-of-two budget; 1-way still fits groups up to ~4 MiB
+    (host encoders have no VMEM cap)."""
+    for nway in (6, 5, 4, 3, 2):
         if 2 * nway * per_group_bytes < budget:
             return nway
     return 1
