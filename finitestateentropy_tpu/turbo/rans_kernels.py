@@ -891,15 +891,16 @@ def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
         out_ref[pl.ds(gg * rows_per + t4_count * 8, 8), :] = xs[gg] ^ RANS_L
 
 
-def _pick_nway(per_group_bytes: int, budget: int = 17 * 2**20) -> int:
+def _pick_nway(per_group_bytes: int, budget: int = (18 * 2**20 + 700 * 2**10)) -> int:
     """Widest interleave whose double-buffered blocks fit the VMEM budget.
 
-    6-way at ~1.4 MiB/group compiles and is the measured throughput peak on
-    the v5e (probe_decode_v3: 4-way 9.9, 6-way 12.0, 8-way fails/regresses);
-    intermediate widths serve corpora whose larger streams push a group
-    just past a power-of-two budget; 1-way still fits groups up to ~4 MiB
-    (host encoders have no VMEM cap)."""
-    for nway in (6, 5, 4, 3, 2):
+    Measured on the v5e (probe_decode_v3): 4-way 9.9, 6-way 12.0-16.1,
+    7-way 17.2 GB/s at tableLog 10; 8-way fails to compile / regresses.
+    The 18.7 MiB budget sits exactly at the largest configuration proven to
+    compile (7 x ~1.33 MiB groups doubled); intermediate widths serve
+    corpora whose larger streams push a group past a boundary; 1-way still
+    fits groups up to ~4 MiB (host encoders have no VMEM cap)."""
+    for nway in (7, 6, 5, 4, 3, 2):
         if 2 * nway * per_group_bytes < budget:
             return nway
     return 1

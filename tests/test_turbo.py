@@ -218,9 +218,9 @@ def test_nway_selection_and_group_size_guard():
     from finitestateentropy_tpu.turbo.rans_kernels import _pick_nway
 
     mib = 1 << 20
-    assert _pick_nway(1 * mib) == 6       # typical 1 MiB group (r2 budget)
+    assert _pick_nway(1 * mib) == 7       # typical 1 MiB group (r2 budget)
     assert _pick_nway(2 * mib) == 4
-    assert _pick_nway(3 * mib) == 2
+    assert _pick_nway(3 * mib) == 3
     assert _pick_nway(5 * mib) == 1       # big (multi-MiB) decode group
     # 2 MiB groups are legal since the chunked encode2 kernel (r2); the
     # VMEM guard moved to >4 MiB (test_large_group_guards_and_tail_split)

@@ -422,7 +422,7 @@ def build_inputs(G):
             np.broadcast_to(init.view(np.int32).reshape(8, 128), (G, 8, 128)).copy(),
             np.broadcast_to(hws, (G, hrows, 128)).copy(),
             np.broadcast_to(stots.astype(np.int32), (G, T, 8)).copy())
-    return [jnp.asarray(a) for a in args], t4, hrows, data, n
+    return [jnp.asarray(a) for a in args], t4, hrows, data, n, tlog
 
 
 def run_variant(name, nway, ps, pc, n_chunks=0, reps=6):
@@ -430,14 +430,14 @@ def run_variant(name, nway, ps, pc, n_chunks=0, reps=6):
     # it (bench.py sizing): 32 vs 128-160 MiB
     G_small = ((32 + nway - 1) // nway) * nway
     G_big = ((128 + nway - 1) // nway) * nway
-    args_s, t4, hrows, data, n = build_inputs(G_small)
+    args_s, t4, hrows, data, n, tlog = build_inputs(G_small)
     args_b = build_inputs(G_big)[0]
 
     def call(args):
         if n_chunks:
-            return rans_decode_v3c(*args, t4, hrows, nway, RANS_TABLELOG,
+            return rans_decode_v3c(*args, t4, hrows, nway, tlog,
                                    n_chunks)
-        return rans_decode_v3(*args, t4, hrows, nway, RANS_TABLELOG, ps, pc,
+        return rans_decode_v3(*args, t4, hrows, nway, tlog, ps, pc,
                               gath_roff=GATH_ROFF)
 
     def timeit(args, G):
@@ -475,6 +475,7 @@ VARIANTS = {
     "c8x16": (8, True, True, 16),
     "abr6": (6, True, True, 0),   # run with GATH_ROFF
     "abr4": (4, True, True, 0),
+    "ab7": (7, True, True, 0),
 }
 
 GATH_ROFF = False
