@@ -122,8 +122,23 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
         dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows, False,
                                                     tlog)[1],
                       lambda x: np.asarray(x))
+    if dt[g_big] <= dt[g_small]:   # tunnel variance swamped the slope:
+        for G in (g_small, g_big):  # retime once with the cached kernels
+            hws = np.zeros((G, hrows, 128), np.int32)
+            hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
+            args = (
+                jnp.asarray(np.full(G, cs, np.int32)),
+                jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
+                jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
+                jnp.asarray(hws),
+                jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
+            )
+            dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows, False,
+                                                        tlog)[1],
+                          lambda x: np.asarray(x), iters=6)
     dec_gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
-    log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s  "
+    unstable = " (UNSTABLE slope; tunnel variance)" if dec_gbps <= 0 else ""
+    log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s{unstable}  "
         f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
     return dec_gbps, enc_gbps, ratio
 
@@ -346,10 +361,12 @@ def main():
         d2, e2, _ = bench_rans(args.group, args.gsmall, args.gbig, 80)
         dec, enc = max(dec, d2), max(enc, e2)
     if not args.quick:
+        # full batch sizes: the r2 kernels are fast enough that halved
+        # batches sink under the tunnel's timing noise
         for pb in (14, 2):
-            bench_rans(args.group, args.gsmall // 2, args.gbig // 2, pb)
+            bench_rans(args.group, args.gsmall, args.gbig, pb)
         try:
-            bench_rans16(1 << 19, args.gsmall // 2, args.gbig // 2)
+            bench_rans16(1 << 19, args.gsmall, args.gbig)
         except Exception as e:
             log("u16 bench failed:", e)
         try:
