@@ -61,7 +61,15 @@ def _time(fn, sync, iters=3):
     return min(best)
 
 
-def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
+def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
+               n_slopes: int = 2):
+    """Returns (decode_slopes list, enc_gbps, ratio).
+
+    VERDICT r2 #4: a single slope can catch a lucky (or inverted) pair of
+    timings on this tunnel, so the decode throughput is measured as
+    n_slopes independent slope samples; the caller reports the median with
+    min/max spread.  Inverted slopes (big batch timed faster than small —
+    pure tunnel variance) are discarded."""
     import jax.numpy as jnp
 
     from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
@@ -99,10 +107,11 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
     log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
         f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
 
-    # --- decode
+    # --- decode: device args staged once per batch size, then n_slopes
+    # independent (t_small, t_big) slope samples over the cached kernels
     hrows = p["round8"]((cs + 127) // 128 + 16)
-    dt = {}
     tch = p["dtbl"].shape[0]
+    dargs = {}
     for G in (g_small, g_big):
         hws = np.zeros((G, hrows, 128), np.int32)
         hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
@@ -119,28 +128,24 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int):
             assert not e.any(), "decode error flags set"
             ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
             assert ob == p["data"], "decode mismatch"
-        dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows, False,
-                                                    tlog)[1],
-                      lambda x: np.asarray(x))
-    if dt[g_big] <= dt[g_small]:   # tunnel variance swamped the slope:
-        for G in (g_small, g_big):  # retime once with the cached kernels
-            hws = np.zeros((G, hrows, 128), np.int32)
-            hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
-            args = (
-                jnp.asarray(np.full(G, cs, np.int32)),
-                jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
-                jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
-                jnp.asarray(hws),
-                jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
-            )
-            dt[G] = _time(lambda a=args: rans_decode_v2(*a, t4, hrows, False,
-                                                        tlog)[1],
-                          lambda x: np.asarray(x), iters=6)
-    dec_gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
-    unstable = " (UNSTABLE slope; tunnel variance)" if dec_gbps <= 0 else ""
-    log(f"proba{proba:02d}: decode {dec_gbps:6.3f} GB/s{unstable}  "
-        f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
-    return dec_gbps, enc_gbps, ratio
+        dargs[G] = args
+    slopes = []
+    attempts = 0
+    while len(slopes) < n_slopes and attempts < n_slopes + 3:
+        attempts += 1
+        dt = {G: _time(lambda a=dargs[G]: rans_decode_v2(*a, t4, hrows,
+                                                         False, tlog)[1],
+                       lambda x: np.asarray(x)) for G in (g_small, g_big)}
+        gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
+        if dt[g_big] > dt[g_small]:
+            slopes.append(gbps)
+            log(f"proba{proba:02d}: decode {gbps:6.3f} GB/s  "
+                f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
+        else:
+            log(f"proba{proba:02d}: decode slope INVERTED (tunnel variance; "
+                f"t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} "
+                f"ms) — discarded")
+    return slopes, enc_gbps, ratio
 
 
 def bench_group_sweep():
@@ -344,9 +349,10 @@ def main():
     ap.add_argument("--gsmall", type=int, default=32)
     ap.add_argument("--gbig", type=int, default=160)
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--repeats", type=int, default=2,
-                    help="headline slope repeats (chip throughput varies "
-                         "run to run; best-of is reported)")
+    ap.add_argument("--slopes", type=int, default=5,
+                    help="independent headline slope samples; the reported "
+                         "value is their MEDIAN with min/max spread (chip "
+                         "throughput varies ~20% run to run)")
     args = ap.parse_args()
 
     import jax
@@ -354,12 +360,15 @@ def main():
 
     if args.quick:
         args.gsmall, args.gbig = 8, 32
-        args.repeats = 1
+        args.slopes = 2
 
-    dec, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80)
-    for _ in range(args.repeats - 1):
-        d2, e2, _ = bench_rans(args.group, args.gsmall, args.gbig, 80)
-        dec, enc = max(dec, d2), max(enc, e2)
+    slopes, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80,
+                                    n_slopes=args.slopes)
+    if not slopes:
+        slopes = [0.0]
+    dec = float(np.median(slopes))
+    log(f"headline: median of {len(slopes)} slopes = {dec:.3f} GB/s "
+        f"(spread {min(slopes):.3f}..{max(slopes):.3f})")
     if not args.quick:
         # full batch sizes: the r2 kernels are fast enough that halved
         # batches sink under the tunnel's timing noise
@@ -385,10 +394,13 @@ def main():
             log("compat check failed:", e)
 
     print(json.dumps({
-        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups, production speed wire (enc/ratio stderr)",
+        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups, production speed wire, median of slope samples (enc/ratio stderr)",
         "value": round(dec, 4),
         "unit": "GB/s",
         "vs_baseline": round(dec / REF_GBPS["fse_dec"], 3),
+        "n_slopes": len(slopes),
+        "spread_min": round(min(slopes), 4),
+        "spread_max": round(max(slopes), 4),
     }))
 
 

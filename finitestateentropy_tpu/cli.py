@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-i", dest="iters", type=int, default=4, help="benchmark iterations")
     p.add_argument("-B", dest="bsize", type=str, default=None, help="block size (K/M suffix)")
     p.add_argument("-M", dest="table_log", type=int, default=0,
-                   help="tableLog (0 = default; turbo fast mode: 9)")
+                   help="tableLog (0 = mode default: turbo 10 speed / 11 "
+                        "ratio, compat 11)")
     p.add_argument("-f", dest="force", action="store_true", help="overwrite output")
     p.add_argument("-v", dest="verbose", action="count", default=0)
     p.add_argument("-q", dest="quiet", action="count", default=0)
@@ -81,14 +82,25 @@ def _write_output(path: str, data: bytes) -> None:
 
 
 def _refuse_overwrite(path: str, force: bool) -> bool:
-    """Reference behavior: never overwrite without -f (fileio.c:222-257)."""
+    """Reference behavior (fileio.c:222-257): without -f, an existing output
+    triggers a y/N console prompt when stdin is interactive, otherwise the
+    operation is refused."""
     import os
 
-    if path != "-" and not force and os.path.exists(path):
-        print(f"Error: {path} already exists; use -f to overwrite",
-              file=sys.stderr)
+    if path == "-" or force or not os.path.exists(path):
+        return False
+    if sys.stdin.isatty():
+        try:
+            ans = input(f"Warning: {path} already exists; overwrite? (y/N) ")
+        except EOFError:
+            ans = ""
+        if ans.strip().lower() in ("y", "yes"):
+            return False
+        print("operation aborted", file=sys.stderr)
         return True
-    return False
+    print(f"Error: {path} already exists; use -f to overwrite",
+          file=sys.stderr)
+    return True
 
 
 def _default_out(args, decode: bool, ext: str) -> str:
@@ -160,19 +172,25 @@ def main(argv=None) -> int:
             out = _default_out(args, True, FSE_EXTENSION)
             if not args.test and _refuse_overwrite(out, args.force):
                 return 1
+            frame = _read_input(args.input)
+            # decode-side codec comes from the frame magic (fileio.c:484-500)
+            # — with --device tpu, route it to the matching device pipeline
+            dec = None
+            if args.device == "tpu":
+                codec_in = fio.CODEC_BY_MAGIC.get(
+                    int.from_bytes(frame[:4], "little"))
+                if codec_in in ("fse", "huf"):
+                    from .models import get_batch_codec
+
+                    dec = get_batch_codec(codec_in, mesh=args.mesh)[1]
+            data = fio.decompress_bytes(frame, dec)
             if args.test:
-                data = fio.decompress_bytes(_read_input(args.input))
                 if verbosity >= 2:
                     print(f"OK: decoded {len(data)} bytes", file=sys.stderr)
-            elif args.input == "-" or out == "-":
-                data = fio.decompress_bytes(_read_input(args.input))
+            else:
                 _write_output(out, data)
                 if verbosity >= 2:
                     print(f"Decoded {len(data)} bytes", file=sys.stderr)
-            else:
-                n = fio.decompress_file(args.input, out)
-                if verbosity >= 2:
-                    print(f"Decoded {n} bytes", file=sys.stderr)
         else:
             out = _default_out(args, False, FSE_EXTENSION)
             if _refuse_overwrite(out, args.force):

@@ -30,9 +30,16 @@ class AutoTpuCodec:
         return inner.compress_blocks(blocks)
 
     def decompress_blocks(self, items):
-        # decode side: the frame magic names the codec, so auto only applies
-        # to compression; default to FSE if driven directly
-        inner = (FseTpuCodec if self.chosen in (None, "fse") else HufTpuCodec)(
+        # decode side: auto-select is a compress-time decision — the frame
+        # magic names the codec, so decompression must come through
+        # get_batch_codec('fse'|'huf') (the CLI reads the magic and does
+        # exactly that).  Guessing here would silently mis-decode.
+        if self.chosen is None:
+            raise ValueError(
+                "AutoTpuCodec cannot decompress without a compress-time "
+                "decision; read the frame magic and use the named codec "
+                "(get_batch_codec('fse') or get_batch_codec('huf'))")
+        inner = (FseTpuCodec if self.chosen == "fse" else HufTpuCodec)(
             block_size=self.block_size, mesh=self.mesh)
         return inner.decompress_blocks(items)
 

@@ -20,18 +20,24 @@ try:  # jax >= 0.7 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from ..turbo.rans_kernels import rans_decode, rans_decode_v2, rans_encode
+from ..turbo.rans_kernels import (rans_decode, rans_decode_v2, rans_encode,
+                                  rans_encode2)
 
 
 def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
-                         interpret: bool = False, tlog: int = 11):
+                         interpret: bool = False, tlog: int = 11,
+                         force_chunk: int = 0):
     """(fc[G,2,128], mg[G,2,128], srcw[G,t4*8,128]) sharded over dp ->
-    (stream, final_states, csize_hw sharded; total_hw replicated)."""
+    (stream, final_states, csize_hw sharded; total_hw replicated).
+
+    Uses rans_encode2 (packed out words + chunked src reads) so sharded
+    encode matches the single-device path exactly, including multi-MiB
+    groups whose halfword-expanded v1 out buffer would not fit VMEM."""
 
     def local(fc, mg, srcw):
-        stream, fin, csize, _ = rans_encode(fc, mg, srcw, t4_count,
-                                            hrows_cap, interpret,
-                                            False, tlog, False)
+        stream, fin, csize, _ = rans_encode2(fc, mg, srcw, t4_count,
+                                             hrows_cap, interpret,
+                                             False, tlog, False, force_chunk)
         total = jax.lax.psum(jnp.sum(csize), "dp")
         return stream, fin, csize, total
 
@@ -61,15 +67,17 @@ def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
 
 
 def sharded_turbo_encode_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
-                            interpret: bool = False, tlog: int = 11):
+                            interpret: bool = False, tlog: int = 11,
+                            force_chunk: int = 0):
     """Production speed-mode encode (FLAG_STEPTOTS wire) sharded over dp:
     (fc, mg, srcw) -> (stream, final_states, csize_hw, steptots sharded;
     total_hw replicated)."""
 
     def local(fc, mg, srcw):
-        stream, fin, csize, stots = rans_encode(fc, mg, srcw, t4_count,
-                                                hrows_cap, interpret,
-                                                False, tlog, True)
+        stream, fin, csize, stots = rans_encode2(fc, mg, srcw, t4_count,
+                                                 hrows_cap, interpret,
+                                                 False, tlog, True,
+                                                 force_chunk)
         total = jax.lax.psum(jnp.sum(csize), "dp")
         return stream, fin, csize, stots, total
 

@@ -93,6 +93,10 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
 
     if table_log == 0:
         table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
+    if not 5 <= table_log <= 12:
+        # the byte-path table packings use 12-bit freq/cumul fields
+        # ((cumul<<12)|freq) — FSE_MAX_TABLELOG parity (lib/fse.h:641-681)
+        raise ValueError(f"byte-path tableLog must be in [5, 12], got {table_log}")
 
     if group_size > MAX_GROUP:
         # the packed out buffer (2 bytes/input byte resident in VMEM)
@@ -366,10 +370,15 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
             results[gi] = rans16_compress(chunk, steptots)
             continue
         max_sv = int(chunk.max())
-        # alphabets above 1023 need tableLog 12-13 (fseU16.c:43-48 analogue)
+        # alphabets above 1023 need tableLog 12-13 (fseU16.c:43-48 analogue);
+        # small groups shrink via FSE_optimalTableLog (matches the twin)
         tlog_req = (RANS_TABLELOG if max_sv <= 1023
                     else 12 if max_sv <= 2047 else 13)
-        norm, tlog = fse_normalize_count(tlog_req, count[: max_sv + 1],
+        from ..refimpl.norm import fse_optimal_table_log
+
+        tlog_opt = min(tlog_req, fse_optimal_table_log(tlog_req, n, max_sv,
+                                                       max_allowed=13))
+        norm, tlog = fse_normalize_count(tlog_opt, count[: max_sv + 1],
                                          n, max_sv, max_table_log=13)
         ncount = fse_write_ncount(norm, max_sv, tlog)
         mfs = int(count.argmax())
@@ -457,7 +466,7 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
         t2 = n_pad // RANS16_STEP_SYMS
         T = n_pad // 1024
         hrows = _round8(max((groups[i][1] + 127) // 128 for i in idxs) + 16)
-        tch = (1 << tlog) // 128
+        tch = max((1 << tlog) // 128, 1)
         tbl = np.zeros((G, 2 * tch if big else tch, 128), np.int32)
         init_b = np.zeros((G, 8, 128), np.int32)
         hws = np.zeros((G, hrows, 128), np.int32)
@@ -470,7 +479,7 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
 
                 tbl[j] = pack_rans16x_dtable(norm, tlog)
             else:
-                tbl[j] = pack_rans16_dtable(norm)
+                tbl[j] = pack_rans16_dtable(norm, tlog)
             init_b[j] = init.view(np.int32).reshape(8, 128)
             hw = np.frombuffer(payload, "<u2").astype(np.int32)
             hws[j].reshape(-1)[: len(hw)] = hw

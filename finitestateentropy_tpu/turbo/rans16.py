@@ -82,14 +82,14 @@ def rans16_compress(symbols: np.ndarray, steptots: bool = True) -> bytes:
 
     # alphabets above 1023 need larger tables (FSE_minTableLog: tableLog >=
     # highbit(maxSV)+2 — the reference's FSEU16 runs tableLog 12-13 for the
-    # same reason, fseU16.c:43-48)
+    # same reason, fseU16.c:43-48); small inputs shrink the table via
+    # FSE_optimalTableLog so they don't pay full-size NCount headers
     tlog_req = (RANS_TABLELOG if max_sv <= 1023
                 else 12 if max_sv <= 2047 else 13)
+    tlog_opt = min(tlog_req,
+                   fse_optimal_table_log(tlog_req, n, max_sv, max_allowed=13))
     norm, table_log = fse_normalize_count(
-        tlog_req, count[: max_sv + 1], n, max_sv, max_table_log=13)
-    if table_log != tlog_req:
-        norm, table_log = fse_normalize_count(
-            tlog_req, count[: max_sv + 1], n, max_sv, max_table_log=13)
+        tlog_opt, count[: max_sv + 1], n, max_sv, max_table_log=13)
     ncount = fse_write_ncount(norm, max_sv, table_log)
     freq, cumul = rans_freqs(np.asarray(norm))
     nsym = max_sv + 1

@@ -124,7 +124,7 @@ def _sym_advance(table_row_fn, tchunks, shape, thi, tlo, slot, x, tlog,
     """Table lookup + state advance for one decode step.
 
     u16x (symbols 1024..4095): split tables — rows [0, tchunks) hold
-    e1 = (freq << 12) | j  (j = slot - cumul, precomputed), rows
+    e1 = (freq << 13) | j  (j = slot - cumul, precomputed), rows
     [tchunks, 2*tchunks) hold the 12-bit symbol.  The symbol gather is off
     the serial path (x depends only on e1)."""
     def gather(off):
@@ -671,14 +671,15 @@ def pack_rans_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
     return fc.reshape(2, 128), magic.reshape(2, 128)
 
 
-def pack_rans16_dtable(norm) -> np.ndarray:
-    """[16,128] i32 u16 decode table ((cumul<<21)|(freq<<10)|sym)."""
+def pack_rans16_dtable(norm, tlog: int = RANS_TABLELOG) -> np.ndarray:
+    """[2^tlog/128,128] i32 u16 decode table ((cumul<<21)|(freq<<10)|sym)."""
     from .rans16 import rans16_decode_table
 
-    t = rans16_decode_table(norm, RANS_TABLELOG)
-    out = np.zeros(TSIZE, np.int32)
+    t = rans16_decode_table(norm, tlog)
+    n = max(1 << tlog, 128)
+    out = np.zeros(n, np.int32)
     out[: len(t)] = t
-    return out.reshape(TCHUNKS, 128)
+    return out.reshape(n // 128, 128)
 
 
 def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:

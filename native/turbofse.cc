@@ -364,7 +364,10 @@ int64_t tfse_version() { return 2; }
 int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
                         int16_t* norm_out, uint8_t* ncount_out,
                         int64_t* meta) {
-  if (n == 0 || tlog < kMinTableLog || tlog > kMaxTableLog) return -1;
+  // encode-side prep caps at 12: the byte-path table packings use 12-bit
+  // freq fields ((cumul<<12)|freq), so tableLog 13 would silently corrupt
+  // frames; 13 stays legal for the u16 DECODER only (kMaxTableLog)
+  if (n == 0 || tlog < kMinTableLog || tlog > 12) return -1;
   uint32_t count[256];
   histogram(src, n, count);
   int max_sv = 255;
