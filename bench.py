@@ -72,10 +72,11 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
     pure tunnel variance) are discarded."""
     import jax.numpy as jnp
 
-    from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
-                                                           rans_encode)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_stream_words, rans_decode_v2, rans_encode2, stream_word_rows)
 
-    # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG)
+    # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG);
+    # rans_encode2 (packed out words) IS the production encode path
     p = _prep(group_bytes, proba)
     fc, mg = p["fc_mg"]
     t4, hcap, tlog = p["t4"], p["hcap"], p["tlog"]
@@ -92,16 +93,16 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
     enc_out = {}
     for G in (g_small, g_big):
         a = enc_args(G)
-        stream, fin, csize, stots = rans_encode(*a, t4, hcap, False, False,
-                                                tlog)  # compile+warm
+        stream, fin, csize, stots = rans_encode2(*a, t4, hcap, False, False,
+                                                 tlog)  # compile+warm
         cs = int(np.asarray(csize)[0])
-        enc_out[G] = (np.asarray(stream)[0].reshape(-1)[:cs], np.asarray(fin)[0],
-                      cs, np.asarray(stots)[0])
-        times[G] = _time(lambda a=a: rans_encode(*a, t4, hcap, False, False,
-                                                 tlog)[2],
+        payload = np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs]
+        enc_out[G] = (payload, np.asarray(fin)[0], cs, np.asarray(stots)[0])
+        times[G] = _time(lambda a=a: rans_encode2(*a, t4, hcap, False, False,
+                                                  tlog)[2],
                          lambda x: np.asarray(x))
     enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
-    hw, fin, cs, stots0 = enc_out[g_big]
+    payload, fin, cs, stots0 = enc_out[g_big]
     # default wire: 8 B/step row counts + 4 KiB init states + header/ncount
     ratio = group_bytes / (cs * 2 + 4096 + t4 * 32 + 64)
     log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
@@ -110,11 +111,12 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
     # --- decode: device args staged once per batch size, then n_slopes
     # independent (t_small, t_big) slope samples over the cached kernels
     hrows = p["round8"]((cs + 127) // 128 + 16)
+    srows = stream_word_rows(hrows)
     tch = p["dtbl"].shape[0]
+    one = pack_stream_words(payload, srows)
     dargs = {}
     for G in (g_small, g_big):
-        hws = np.zeros((G, hrows, 128), np.int32)
-        hws.reshape(G, -1)[:, :cs] = hw.astype(np.int32)
+        hws = np.broadcast_to(one, (G, srows, 128)).copy()
         args = (
             jnp.asarray(np.full(G, cs, np.int32)),
             jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
@@ -155,8 +157,8 @@ def bench_group_sweep():
     1024-lane turbo format pays ~0.5% parallelism tax at 4 MiB."""
     import jax.numpy as jnp
 
-    from finitestateentropy_tpu.turbo.rans_kernels import (rans_decode_v2,
-                                                           rans_encode2)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_stream_words, rans_decode_v2, rans_encode2, stream_word_rows)
 
     for mb, g_small, g_big in ((2, 2, 8), (4, 2, 6)):
         # ratio sweep runs reference-parity tables (tableLog 11)
@@ -172,12 +174,14 @@ def bench_group_sweep():
         totals_bytes = cs * 2 + 4096 + t4 * 8 + 64
         ratio_bytes = cs * 2 + 4096 + 64
         hrows = p["round8"]((cs + 127) // 128 + 16)
-        hw = np.asarray(stream)[0].reshape(-1)[:cs]
+        srows = stream_word_rows(hrows)
+        one = pack_stream_words(
+            np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs],
+            srows)
         totals0 = np.asarray(stots)[0].sum(axis=1).astype(np.int32)
         dt = {}
         for G in (g_small, g_big):
-            hws = np.zeros((G, hrows, 128), np.int32)
-            hws.reshape(G, -1)[:, :cs] = hw
+            hws = np.broadcast_to(one, (G, srows, 128)).copy()
             args = (jnp.asarray(np.full(G, cs, np.int32)),
                     jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
                     jnp.asarray(np.broadcast_to(
@@ -204,7 +208,8 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
                                                      parse_rans16_group,
                                                      rans16_compress)
     from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_rans16_ctables, pack_rans16_dtable, rans_decode_v2, rans_encode)
+        pack_rans16_ctables, pack_rans16_dtable, pack_stream_words,
+        rans_decode_v2, rans_encode, stream_word_rows)
 
     rng = np.random.default_rng(0)
     d = np.clip((rng.pareto(1.2, n_syms) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
@@ -230,8 +235,9 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
         times_e[G] = _time(lambda a=ea: rans_encode(*a, t2, hcap, False, True)[2],
                            lambda x: np.asarray(x))
         hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
-        hws = np.zeros((G, hrows, 128), np.int32)
-        hws.reshape(G, -1)[:, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
+        srows = stream_word_rows(hrows)
+        hws = np.broadcast_to(pack_stream_words(payload, srows),
+                              (G, srows, 128)).copy()
         da = (jnp.asarray(np.full(G, cs, np.int32)),
               jnp.asarray(np.broadcast_to(pack_rans16_dtable(norm), (G, 16, 128)).copy()),
               jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),

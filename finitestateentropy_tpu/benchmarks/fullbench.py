@@ -170,7 +170,9 @@ def _turbo_stages():
     from ..turbo.api import _hrows_cap, _prep_group, _round8
     from ..turbo.format import TURBO_STEP_SYMS, _pad_n
     from ..turbo.rans_kernels import (pack_rans_ctables, pack_rans_dtable,
-                                      rans_decode, rans_decode_v2, rans_encode)
+                                      pack_stream_words, rans_decode,
+                                      rans_decode_v2, rans_encode,
+                                      rans_encode2, stream_word_rows)
 
     gsz = 1 << 20
     base = generate_proba(P_DEFAULT)
@@ -189,12 +191,13 @@ def _turbo_stages():
     srcw = jnp.asarray(np.broadcast_to(
         pad.view("<u4").view(np.int32).reshape(t4 * 8, 128), (G, t4 * 8, 128)).copy())
 
-    stream, fin, csize, _stots = rans_encode(fcb, mgb, srcw, t4, hcap)
+    stream, fin, csize, _stots = rans_encode2(fcb, mgb, srcw, t4, hcap)
     cs = int(np.asarray(csize)[0])
     hrows = _round8((cs + 127) // 128 + 16)
-    hw = np.asarray(stream)[0].reshape(-1)[:cs]
-    hws = np.zeros((G, hrows, 128), np.int32)
-    hws.reshape(G, -1)[:, :cs] = hw
+    srows = stream_word_rows(hrows)
+    payload = np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs]
+    hws = np.broadcast_to(pack_stream_words(payload, srows),
+                          (G, srows, 128)).copy()
     dargs = (jnp.asarray(np.full(G, cs, np.int32)),
              jnp.asarray(np.broadcast_to(pack_rans_dtable(norm), (G, 16, 128)).copy()),
              jnp.asarray(np.broadcast_to(np.asarray(fin)[0], (G, 8, 128)).copy()),
@@ -207,6 +210,8 @@ def _turbo_stages():
     total = G * gsz
     return {
         200: ("turbo_rans_encode (kernel)",
+              lambda: np.asarray(rans_encode2(fcb, mgb, srcw, t4, hcap)[2]), total),
+        205: ("turbo_rans_encode (kernel, v1 halfword-out)",
               lambda: np.asarray(rans_encode(fcb, mgb, srcw, t4, hcap)[2]), total),
         201: ("turbo_rans_decode (kernel)",
               lambda: np.asarray(rans_decode(*dargs, t4, hrows)[1]), total),

@@ -50,8 +50,8 @@ def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
 
 def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
                          interpret: bool = False, tlog: int = 11):
-    """(csize[G], tbl[G,16,128], init[G,8,128], hws[G,hrows,128]) ->
-    (out sharded, err sharded, any_err replicated)."""
+    """(csize[G], tbl[G,16,128], init[G,8,128], hws[G,srows,128] packed
+    payload words) -> (out sharded, err sharded, any_err replicated)."""
 
     def local(cs, tbl, init, hws):
         out, err = rans_decode(cs, tbl, init, hws, t4_count, hrows, interpret,
@@ -115,9 +115,9 @@ def sharded_turbo_roundtrip_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
     kernel.  Returns (ok replicated, total_hw replicated)."""
 
     def local(fc, mg, srcw, dtbl):
-        stream, fin, csize, stots = rans_encode(fc, mg, srcw, t4_count,
-                                                hrows_cap, interpret,
-                                                False, tlog, True)
+        stream, fin, csize, stots = rans_encode2(fc, mg, srcw, t4_count,
+                                                 hrows_cap, interpret,
+                                                 False, tlog, True)
         out, err = rans_decode_v2(csize, dtbl, fin, stream, stots,
                                   t4_count, hrows_cap, interpret, tlog)
         ok = jnp.all(out == srcw) & jnp.all(err == 0)
@@ -138,9 +138,9 @@ def sharded_turbo_roundtrip(mesh: Mesh, t4_count: int, hrows_cap: int,
     dry-run payload): returns (ok replicated, total_hw replicated)."""
 
     def local(fc, mg, srcw, dtbl):
-        stream, fin, csize, _ = rans_encode(fc, mg, srcw, t4_count,
-                                            hrows_cap, interpret,
-                                            False, 11, False)
+        stream, fin, csize, _ = rans_encode2(fc, mg, srcw, t4_count,
+                                             hrows_cap, interpret,
+                                             False, 11, False)
         out, err = rans_decode(csize, dtbl, fin, stream, t4_count, hrows_cap,
                                interpret)
         ok = jnp.all(out == srcw) & jnp.all(err == 0)

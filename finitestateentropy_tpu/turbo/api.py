@@ -20,7 +20,8 @@ from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
 from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, FLAG_TOTALS,
                    RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
 from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
-                           rans_decode_v2, rans_encode, rans_encode2)
+                           rans_decode_v2, rans_encode, rans_encode2,
+                           stream_word_rows)
 
 DEFAULT_GROUP = 1 << 20
 MAX_GROUP = 4 << 20   # encode2 chunks src reads; out buffer bounds this
@@ -191,12 +192,13 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             stream, fin, csize, stots = rans_encode2(
                 jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
                 interpret, False, table_log, steptots)
-        stream = np.asarray(stream)
+        stream = np.ascontiguousarray(np.asarray(stream))  # packed words
         fin = np.asarray(fin)
         csize = np.asarray(csize)
         stots_np = np.asarray(stots).astype(np.uint8) if steptots else None
         for j, (gi, ch, (norm, max_sv, ncount, mfs)) in enumerate(items):
-            hw = stream[j].reshape(-1)[: int(csize[j])].astype(np.uint16)
+            # wire payload bytes ARE the packed words little-endian
+            payload = stream[j].tobytes()[: 2 * int(csize[j])]
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
             if steptots and totals_only:
                 # v3 totals-only wire: 1 u16/step (4x smaller than the
@@ -215,7 +217,7 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                 + ncount_pad
                 + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
                 + sect
-                + hw.astype("<u2").tobytes()
+                + payload
             )
             if len(blob) >= len(ch) + _HDR.size:
                 blob = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RAW, 0) + ch.tobytes()
@@ -261,22 +263,25 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
         tch = max((1 << tlog) // 128, 1)
         T = n_pad // TURBO_LANES
+        srows = stream_word_rows(hrows)
         tbl = np.zeros((G, tch, 128), np.int32)
         init = np.zeros((G, 8, 128), np.int32)
-        hws = np.zeros((G, hrows, 128), np.int32)
+        hws = np.zeros((G, srows, 128), np.int32)   # packed payload words
         cs = np.zeros(G, np.int32)
         have_tots = kind > 0
         tots = np.zeros((G, T) if kind == 1 else (G, T, 8), np.int32)
 
         def fill(j_i):
             # per-group table pack + payload staging: numpy releases the
-            # GIL on the bulk ops, so groups fill across cores
+            # GIL on the bulk ops, so groups fill across cores.  The wire
+            # payload is already the packed word layout — staging is a
+            # straight byte copy (no halfword expansion, half the H2D).
             j, i = j_i
             n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
             tbl[j] = pack_rans_dtable(norm, tlog)
             init[j] = ini.view(np.int32).reshape(8, 128)
-            hw = np.frombuffer(payload, "<u2").astype(np.int32)
-            hws[j].reshape(-1)[: len(hw)] = hw
+            w = np.frombuffer(payload + b"\0" * (-len(payload) % 4), "<u4")
+            hws[j].reshape(-1)[: len(w)] = w.view(np.int32)
             cs[j] = csize_hw
             if have_tots:
                 tots[j] = stots
@@ -467,9 +472,10 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
         T = n_pad // 1024
         hrows = _round8(max((groups[i][1] + 127) // 128 for i in idxs) + 16)
         tch = max((1 << tlog) // 128, 1)
+        srows = stream_word_rows(hrows)
         tbl = np.zeros((G, 2 * tch if big else tch, 128), np.int32)
         init_b = np.zeros((G, 8, 128), np.int32)
-        hws = np.zeros((G, hrows, 128), np.int32)
+        hws = np.zeros((G, srows, 128), np.int32)   # packed payload words
         cs_b = np.zeros(G, np.int32)
         tots = np.zeros((G, T, 8), np.int32)
         for j, i in enumerate(idxs):
@@ -481,8 +487,8 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
             else:
                 tbl[j] = pack_rans16_dtable(norm, tlog)
             init_b[j] = init.view(np.int32).reshape(8, 128)
-            hw = np.frombuffer(payload, "<u2").astype(np.int32)
-            hws[j].reshape(-1)[: len(hw)] = hw
+            w = np.frombuffer(payload + b"\0" * (-len(payload) % 4), "<u4")
+            hws[j].reshape(-1)[: len(w)] = w.view(np.int32)
             cs_b[j] = cs
             if have_tots:
                 tots[j] = stots

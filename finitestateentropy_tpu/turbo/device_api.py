@@ -4,37 +4,112 @@ TPU without round-tripping the payload through the host.
 The reference is a CPU library, so its whole pipeline is "host-resident";
 on TPU the natural production flow compresses tensors already in HBM
 (checkpoints, activations, KV caches) and decompresses straight back into
-HBM.  The split here keeps every large transfer off the link:
+HBM.  Round 3 made compression ONE fused launch per batch — the entire
+chain histogram -> normalization (ops/norm.py, bit-exact incl. the
+normalizeM2 fallback) -> table packing (ops/rans_tables.py) -> encode
+kernel runs on device; the host only parses/writes the tiny headers:
 
-  compress:  device histogram (ops/hist.py, one-hot + MXU) ->
-             pull COUNTS (1 KiB/group) -> host normalization/NCount
-             (256-entry work, bit-exact refimpl) -> push tables
-             (~KiB/group) -> device encode2 kernel -> pull only the
-             COMPRESSED halfwords + 4 KiB states per group.
-  decompress: host parses headers (tiny), pushes compressed payload +
-             tables, the v2 kernel decodes, and the OUTPUT STAYS ON
+  compress:  fused jit [hist -> normalize -> ctables -> pad -> encode2]
+             -> pull norm/flags (1 KiB/group, header bytes) + csize +
+             final states + ONLY the compressed words (sliced to the
+             batch's max csize).
+  decompress: host parses headers (tiny), pushes packed payload + tables,
+             one v2 kernel launch per batch, and the OUTPUT STAYS ON
              DEVICE as a jax.Array.
+  roundtrip: rans_resident_roundtrip keeps even the compressed words in
+             HBM — the decode tables are built on device from the same
+             normalized counts — so the only host syncs are scalars.
+             This is the measured end-to-end story (bench.py): payload
+             never crosses the link.
 
 Wire bytes are identical to turbo_compress_device (differentially
 tested), so frames interchange freely with the host/native paths.
+Groups are batched by padded size exactly like the host path —
+including ragged tails, which round 2 encoded at the full group's
+padded span (diverging wire + undecodable mid-size tails; fixed here).
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from ..refimpl.ncount import fse_write_ncount
-from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_STEP_SYMS, _pad_n
 from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, FLAG_TOTALS,
                    RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
-from .rans_kernels import (pack_rans_ctables, pack_rans_dtable,
-                           rans_decode_v2, rans_encode2)
+from .rans_kernels import (pack_rans_dtable, pack_stream_words,
+                           rans_decode_v2, rans_encode2, stream_word_rows)
 
 DEFAULT_GROUP = 1 << 20
+MAX_GROUP = 4 << 20   # encode2 chunks src reads; out buffer bounds this
 
 
 def _round8(x: int) -> int:
     return (x + 7) // 8 * 8
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _resident_compress_jit(xp, lens, n_pad: int, table_log: int,
+                           steptots: bool, interpret: bool):
+    """One fused launch: histogram -> bit-exact normalization -> encode
+    tables -> mfs padding -> rANS encode.  xp [G, cols] uint8 (cols <=
+    n_pad, multiple of 4), lens [G] i32 valid lengths.
+
+    Returns (stream_words, final_states, csize_hw, steptots|None,
+    norm [G,256], flags [G], mfs [G]).  flags: 0 coded, 1 RLE, 2/3
+    normalization error (refimpl parity; host raises).  Rows with
+    flags != 0 are encoded with a placeholder delta table — their stream
+    output is well-formed garbage the caller discards."""
+    import jax.numpy as jnp
+
+    from ..ops.hist import hist_count_masked
+    from ..ops.norm import fse_normalize_batch
+    from ..ops.rans_tables import pack_rans_ctables_batch
+
+    G, cols = xp.shape
+    counts = hist_count_masked(xp, cols, lens)
+    norm, flags = fse_normalize_batch(counts, lens, table_log)
+    mfs = jnp.argmax(counts, axis=1).astype(jnp.int32)
+
+    # placeholder delta distribution for non-coded rows: keeps the table
+    # build well-formed (freq >= 1 sums to tableSize) without branching
+    idx = jnp.arange(256, dtype=jnp.int32)[None, :]
+    delta = jnp.where(idx == mfs[:, None], 1 << table_log, 0)
+    norm_s = jnp.where((flags == 0)[:, None], norm, delta)
+    fc, mg = pack_rans_ctables_batch(norm_s)
+
+    mfs_u8 = mfs.astype(jnp.uint8)
+    pos = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    padded = jnp.where(pos < lens[:, None], xp, mfs_u8[:, None])
+    if n_pad > cols:
+        padded = jnp.concatenate(
+            [padded, jnp.broadcast_to(mfs_u8[:, None], (G, n_pad - cols))],
+            axis=1)
+    t4 = n_pad // TURBO_STEP_SYMS
+    srcw = jax.lax.bitcast_convert_type(
+        padded.reshape(G, n_pad // 4, 4), jnp.uint32
+    ).astype(jnp.int32).reshape(G, t4 * 8, 128)
+    hcap = _round8((n_pad + 127) // 128 + 16)
+    stream, fin, csize, stots = rans_encode2(
+        fc, mg, srcw, t4, hcap, interpret, False, table_log, steptots)
+    return stream, fin, csize, stots, norm_s, norm, flags, mfs
+
+
+def _resident_batches(n: int, group_size: int):
+    """(start, length) per group, grouped by padded size — mirrors
+    turbo_compress_device's chunking incl. the multi-MiB tail split."""
+    spans = [(i, min(group_size, n - i)) for i in range(0, n, group_size)]
+    if group_size > DEFAULT_GROUP and spans and spans[-1][1] > DEFAULT_GROUP \
+            and _pad_n(spans[-1][1]) % DEFAULT_GROUP:
+        st, ln = spans.pop()
+        cut = ln // DEFAULT_GROUP * DEFAULT_GROUP
+        spans += [(st, cut), (st + cut, ln - cut)]
+    batches: dict[int, list[tuple[int, int, int]]] = {}
+    for gi, (st, ln) in enumerate(spans):
+        batches.setdefault(_pad_n(ln), []).append((gi, st, ln))
+    return len(spans), batches
 
 
 def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
@@ -42,12 +117,12 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
                            steptots: bool = True,
                            totals_only: bool = False,
                            interpret: bool | None = None) -> bytes:
-    """Compress a device-resident uint8 jax.Array; only counts, tables and
-    the compressed result cross the host<->device link."""
+    """Compress a device-resident uint8 jax.Array; the payload crosses the
+    link only as compressed words (plus 1 KiB/group of header stats)."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.hist import hist_count_masked
+    from ..errors import FSEError
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -55,85 +130,59 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
         from .rans import RANS_SPEED_TABLELOG
 
         table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
+    if not 5 <= table_log <= 12:
+        raise ValueError(f"byte-path tableLog must be in [5, 12], got {table_log}")
+    if group_size > MAX_GROUP:
+        raise ValueError(
+            f"group_size {group_size} exceeds the encode kernel's VMEM "
+            f"budget; use <= {MAX_GROUP}")
+    if group_size > DEFAULT_GROUP and group_size % DEFAULT_GROUP:
+        raise ValueError(
+            "group sizes above 1 MiB must be a multiple of 1 MiB "
+            "(the encode kernel chunks src reads in 1 MiB spans)")
     n = int(x.shape[0])
     if n == 0:
         return _HDR.pack(RANS_MAGIC, 0, 0, 0, FLAG_RAW, 0)
-    if group_size > DEFAULT_GROUP:
-        raise ValueError("resident path currently caps groups at 1 MiB")
     x = x.astype(jnp.uint8)
 
-    G = (n + group_size - 1) // group_size
-    gpad = G * group_size
-    xp = jnp.pad(x, (0, gpad - n)).reshape(G, group_size)
-    lens = np.minimum(np.full(G, group_size, np.int64),
-                      n - np.arange(G, dtype=np.int64) * group_size)
-    counts = np.asarray(hist_count_masked(
-        xp, group_size, jnp.asarray(lens.astype(np.int32))))  # 1 KiB/group
-
-    # host: stats on the 256-entry counts only
-    preps = []
-    for g in range(G):
-        ln = int(lens[g])
-        count = counts[g]
-        max_sv = int(np.nonzero(count)[0].max())
-        mfs = int(count.argmax())
-        if int(count[mfs]) == ln:
-            preps.append(("rle", mfs))
-            continue
-        tlog = min(table_log, fse_optimal_table_log(table_log, ln, max_sv))
-        norm, tlog = fse_normalize_count(tlog, count[: max_sv + 1], ln, max_sv)
-        if tlog != table_log:
-            norm, tlog = fse_normalize_count(table_log, count[: max_sv + 1],
-                                             ln, max_sv)
-        preps.append(("enc", (np.asarray(norm, np.int32), max_sv,
-                              fse_write_ncount(norm, max_sv, tlog), mfs)))
-
-    enc_idx = [g for g, p in enumerate(preps) if p[0] == "enc"]
+    n_groups, batches = _resident_batches(n, group_size)
     results: dict[int, bytes] = {}
-    for g, p in enumerate(preps):
-        if p[0] == "rle":
-            ch0 = p[1]
-            results[g] = _HDR.pack(RANS_MAGIC, int(lens[g]), 0, 0, FLAG_RLE,
-                                   0) + bytes([ch0]) + b"\0" * 3
-
-    if enc_idx:
-        GE = len(enc_idx)
-        n_pad = _pad_n(group_size)
-        t4 = n_pad // TURBO_STEP_SYMS
-        hcap = _round8((n_pad + 127) // 128 + 16)
-        fc = np.zeros((GE, 2, 128), np.int32)
-        mg = np.zeros((GE, 2, 128), np.int32)
-        mfs_arr = np.zeros(GE, np.int32)
-        for j, g in enumerate(enc_idx):
-            norm, max_sv, ncount, mfs = preps[g][1]
-            fc[j], mg[j] = pack_rans_ctables(norm)
-            mfs_arr[j] = mfs
-        # device-side staging: pad ragged tails with mfs + lane-view pack
-        sel = xp[jnp.asarray(np.asarray(enc_idx, np.int32))]
-        pos = jnp.arange(group_size, dtype=jnp.int32)[None, :]
-        lensel = jnp.asarray(lens[enc_idx].astype(np.int32))[:, None]
-        padded = jnp.where(pos < lensel, sel,
-                           jnp.asarray(mfs_arr, jnp.uint8)[:, None])
-        extra = n_pad - group_size
-        if extra:
-            padded = jnp.concatenate(
-                [padded, jnp.broadcast_to(
-                    jnp.asarray(mfs_arr, jnp.uint8)[:, None], (GE, extra))],
-                axis=1)
-        srcw = jax.lax.bitcast_convert_type(
-            padded.reshape(GE, n_pad // 4, 4), jnp.uint32
-        ).astype(jnp.int32).reshape(GE, t4 * 8, 128)
-        stream, fin, csize, stots = rans_encode2(
-            jnp.asarray(fc), jnp.asarray(mg), srcw, t4, hcap,
-            interpret, False, table_log, steptots)
+    for n_pad, items in batches.items():
+        G = len(items)
+        cols = min(n_pad, (max(ln for _, _, ln in items) + 3) // 4 * 4)
+        lens = np.array([ln for _, _, ln in items], np.int32)
+        xpad = jnp.pad(x, (0, cols))  # never slice past the end
+        xp = jnp.stack([jax.lax.dynamic_slice(xpad, (st,), (cols,))
+                        for _, st, _ in items])
+        stream, fin, csize, stots, _norm_s, norm, flags, mfs = \
+            _resident_compress_jit(xp, jnp.asarray(lens), n_pad, table_log,
+                                   steptots, interpret)
         csize_np = np.asarray(csize)
+        flags_np = np.asarray(flags)
+        norm_np = np.asarray(norm)
+        mfs_np = np.asarray(mfs)
+        if (flags_np >= 2).any():
+            raise FSEError("normalization failed on device "
+                           f"(flags {flags_np.tolist()})")
         fin_np = np.asarray(fin)
         stots_np = np.asarray(stots).astype(np.uint8) if steptots else None
-        stream_np = np.asarray(stream)  # NOTE: pull could slice per-group
-        for j, g in enumerate(enc_idx):
-            norm, max_sv, ncount, mfs = preps[g][1]
+        # pull only the words any group actually uses, in ONE transfer
+        coded = flags_np == 0
+        max_cs = int(csize_np[coded].max()) if coded.any() else 0
+        wrows = min(stream.shape[1],
+                    max(_round8(((max_cs + 1) // 2 + 127) // 128), 8))
+        stream_np = np.ascontiguousarray(np.asarray(stream[:, :wrows, :]))
+        for j, (gi, st, ln) in enumerate(items):
+            if flags_np[j] == 1:   # RLE
+                results[gi] = _HDR.pack(RANS_MAGIC, ln, 0, 0, FLAG_RLE, 0) \
+                    + bytes([int(mfs_np[j])]) + b"\0" * 3
+                continue
             cs = int(csize_np[j])
-            hw = stream_np[j].reshape(-1)[:cs].astype(np.uint16)
+            payload = stream_np[j].tobytes()[: 2 * cs]
+            nz = np.nonzero(norm_np[j])[0]
+            max_sv = int(nz.max())
+            ncount = fse_write_ncount(norm_np[j][: max_sv + 1].tolist(),
+                                      max_sv, table_log)
             ncount_pad = ncount + b"\0" * (-len(ncount) % 4)
             if steptots and totals_only:
                 sect = (stots_np[j].astype(np.uint16).sum(axis=1)
@@ -144,21 +193,23 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
                 fl = FLAG_STEPTOTS
             else:
                 sect, fl = b"", 0
-            ln = int(lens[g])
             blob = (_HDR.pack(RANS_MAGIC, ln, cs, table_log, fl, len(ncount))
                     + ncount_pad
                     + fin_np[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
-                    + sect + hw.astype("<u2").tobytes())
+                    + sect + payload)
             if len(blob) >= ln + _HDR.size:
-                raw = np.asarray(xp[g, :ln])  # incompressible: pull the data
+                raw = np.asarray(
+                    jax.lax.dynamic_slice(x, (st,), (ln,)))  # incompressible
                 blob = _HDR.pack(RANS_MAGIC, ln, 0, 0, FLAG_RAW, 0) + raw.tobytes()
-            results[g] = blob
-    return b"".join(results[g] for g in range(G))
+            results[gi] = blob
+    return b"".join(results[gi] for gi in range(n_groups))
 
 
 def rans_decompress_resident(blob: bytes, interpret: bool | None = None):
     """Decompress a TurboRANS stream INTO device memory: the uplink carries
-    only the compressed payload + tables; returns a uint8 jax.Array."""
+    only the compressed payload + tables; returns a uint8 jax.Array.
+    Batches groups per (padded size, tableLog, section kind) — one kernel
+    launch per batch, like the host path."""
     import jax
     import jax.numpy as jnp
 
@@ -172,42 +223,112 @@ def rans_decompress_resident(blob: bytes, interpret: bool | None = None):
         groups.append(g)
         pos += used
 
-    pieces = []
+    pieces: list = [None] * len(groups)
+    batches: dict[tuple[int, int, int], list[int]] = {}
     for i, g in enumerate(groups):
         n, csize_hw, tlog, flags, norm, max_sv, init, payload, stots = g
         if flags & FLAG_RAW:
-            pieces.append(jnp.asarray(np.frombuffer(payload, np.uint8)[:n]))
-            continue
-        if flags & FLAG_RLE:
-            pieces.append(jnp.full(n, payload[0], jnp.uint8))
-            continue
-        n_pad = _pad_n(n)
+            pieces[i] = jnp.asarray(np.frombuffer(payload, np.uint8)[:n])
+        elif flags & FLAG_RLE:
+            pieces[i] = jnp.full(n, payload[0], jnp.uint8)
+        else:
+            kind = 0 if stots is None else stots.ndim
+            batches.setdefault((_pad_n(n), tlog, kind), []).append(i)
+
+    for (n_pad, tlog, kind), idxs in batches.items():
+        G = len(idxs)
         t4 = n_pad // TURBO_STEP_SYMS
-        hrows = _round8((csize_hw + 127) // 128 + 16)
-        hws = np.zeros((1, hrows, 128), np.int32)
-        hws.reshape(-1)[:csize_hw] = np.frombuffer(payload, "<u2").astype(np.int32)
-        if stots is None:
+        T = n_pad // 1024
+        hrows = _round8(max((groups[i][1] + 127) // 128 for i in idxs) + 16)
+        srows = stream_word_rows(hrows)
+        tch = max((1 << tlog) // 128, 1)
+        tbl = np.zeros((G, tch, 128), np.int32)
+        init_b = np.zeros((G, 8, 128), np.int32)
+        hws = np.zeros((G, srows, 128), np.int32)
+        cs_b = np.zeros(G, np.int32)
+        tots = np.zeros((G, T) if kind == 1 else (G, T, 8), np.int32)
+        for j, i in enumerate(idxs):
+            n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
+            tbl[j] = pack_rans_dtable(norm, tlog)
+            init_b[j] = ini.view(np.int32).reshape(8, 128)
+            hws[j] = pack_stream_words(payload, srows)
+            cs_b[j] = csize_hw
+            if kind:
+                tots[j] = stots
+        if kind:
+            outw, err = rans_decode_v2(
+                jnp.asarray(cs_b), jnp.asarray(tbl), jnp.asarray(init_b),
+                jnp.asarray(hws), jnp.asarray(tots), t4, hrows, interpret,
+                tlog)
+        else:
             from .rans_kernels import rans_decode
 
             outw, err = rans_decode(
-                jnp.asarray(np.array([csize_hw], np.int32)),
-                jnp.asarray(pack_rans_dtable(norm, tlog)[None]),
-                jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+                jnp.asarray(cs_b), jnp.asarray(tbl), jnp.asarray(init_b),
                 jnp.asarray(hws), t4, hrows, interpret, False, tlog)
-        else:
-            st = (stots.astype(np.int32)[None]
-                  if stots.ndim == 2 else stots.astype(np.int32)[None])
-            outw, err = rans_decode_v2(
-                jnp.asarray(np.array([csize_hw], np.int32)),
-                jnp.asarray(pack_rans_dtable(norm, tlog)[None]),
-                jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
-                jnp.asarray(hws), jnp.asarray(st), t4, hrows, interpret, tlog)
-        if int(np.asarray(err)[0]):
-            raise ValueError(f"resident decode: corrupt group {i}")
-        import jax
-
+        err_np = np.asarray(err)
+        if err_np.any():
+            raise ValueError(
+                f"resident decode: corrupt groups {np.nonzero(err_np)[0]}")
         flat = jax.lax.bitcast_convert_type(
-            outw.reshape(1, t4 * 8, 128).astype(jnp.uint32)[0],
-            jnp.uint8).reshape(-1)
-        pieces.append(flat[:n])
+            outw.reshape(G, t4 * 8, 128).astype(jnp.uint32),
+            jnp.uint8).reshape(G, -1)
+        for j, i in enumerate(idxs):
+            pieces[i] = flat[j, : groups[i][0]]
     return jnp.concatenate(pieces) if pieces else jnp.zeros(0, jnp.uint8)
+
+
+def rans_resident_roundtrip(x, group_size: int = DEFAULT_GROUP,
+                            table_log: int = 0,
+                            interpret: bool | None = None):
+    """Fully device-resident compress -> decompress -> verify: the payload,
+    tables, and section all stay in HBM; the only host syncs are scalars.
+    This is the honest end-to-end number on a tunnel-attached box (the
+    wire-level APIs are bounded by the host link, not the kernels).
+
+    Returns (ok: bool, total_csize_hw: int, nbytes: int).  Requires every
+    group to be codeable (no RLE/raw fallbacks) and len(x) a multiple of
+    group_size <= 1 MiB-aligned sizes; raises otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if table_log == 0:
+        from .rans import RANS_SPEED_TABLELOG
+
+        table_log = RANS_SPEED_TABLELOG
+    n = int(x.shape[0])
+    if n == 0 or n % group_size:
+        raise ValueError("roundtrip needs len(x) % group_size == 0")
+    ok_dev, cs_dev = _resident_roundtrip_jit(
+        x.astype(jnp.uint8), group_size, table_log, interpret)
+    return bool(np.asarray(ok_dev)), int(np.asarray(cs_dev)), n
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _resident_roundtrip_jit(x, group_size: int, table_log: int,
+                            interpret: bool):
+    import jax.numpy as jnp
+
+    from ..ops.rans_tables import pack_rans_dtable_batch
+
+    G = x.shape[0] // group_size
+    xp = x.reshape(G, group_size)
+    lens = jnp.full((G,), group_size, jnp.int32)
+    n_pad = _pad_n(group_size)
+    stream, fin, csize, stots, norm_s, _norm, flags, _mfs = \
+        _resident_compress_jit(xp, lens, n_pad, table_log, True, interpret)
+    t4 = n_pad // TURBO_STEP_SYMS
+    hcap = _round8((n_pad + 127) // 128 + 16)
+    dtbl = pack_rans_dtable_batch(norm_s, table_log)
+    out, err = rans_decode_v2(csize, dtbl, fin, stream, stots, t4, hcap,
+                              interpret, table_log)
+    import jax
+
+    decoded = jax.lax.bitcast_convert_type(
+        out.reshape(G, t4 * 8, 128).astype(jnp.uint32),
+        jnp.uint8).reshape(G, n_pad)[:, :group_size]
+    ok = (jnp.all(decoded == xp) & jnp.all(err == 0)
+          & jnp.all(flags == 0))
+    return ok, jnp.sum(csize)

@@ -218,24 +218,39 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
     out_ref[pl.ds(t4_count * 8 + 8, 8), :] = jnp.full(shape, cursor, jnp.int32)
 
 
+def stream_word_rows(hrows: int) -> int:
+    """Packed-stream row count for a given halfword-row geometry: the wire
+    payload packs 2 LE halfwords per i32 word (the kernels' native layout;
+    the payload BYTES are exactly these words little-endian)."""
+    return ((hrows + 1) // 2 + 8 + 7) // 8 * 8
+
+
+def pack_stream_words(payload: bytes, srows: int) -> np.ndarray:
+    """Stage a wire payload into the packed [srows,128] i32 word layout the
+    decode kernels consume — a pure numpy view, no per-halfword work."""
+    out = np.zeros(srows * 128, np.int32)
+    w = np.frombuffer(payload + b"\0" * (-len(payload) % 4), "<u4")
+    out[: len(w)] = w.view(np.int32)
+    return out.reshape(srows, 128)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def rans_decode(csize_hw, tables, init_states, streams,
                 t4_count: int, hrows: int, interpret: bool = False,
                 u16: bool = False, tlog: int = RANS_TABLELOG,
                 u16x: bool = False):
     """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
-    bits); streams[G,hrows,128] i32 (halfword-expanded payload).
+    bits); streams[G, stream_word_rows(hrows), 128] i32 (PACKED payload
+    words, 2 LE halfwords each — see pack_stream_words).
     Returns (out[G, t4_count*8, 128] i32 bytes, err[G] i32, 0 = ok)."""
     G = tables.shape[0]
     rows = t4_count * 8 + 16
-    srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
+    srows = stream_word_rows(hrows)
+    assert streams.shape[1] == srows, (streams.shape, srows)
     kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
                              srows=srows, u16=u16, tlog=tlog, u16x=u16x)
     tch = tables.shape[1]
-    # pack stream halfwords 2-per-word (little-endian pair order)
-    hw = streams.reshape(G, hrows * 128)
-    packed = hw[:, 0::2] | _sll(hw[:, 1::2], 16)
-    pk = jnp.zeros((G, srows * 128), jnp.int32).at[:, : hrows * 64].set(packed)
+    pk = streams.reshape(G, srows * 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G,),
@@ -581,8 +596,12 @@ def rans_encode2(fc_tables, magic_tables, src_words,
                  t4_count: int, hrows_cap: int, interpret: bool = False,
                  u16: bool = False, tlog: int = RANS_TABLELOG,
                  steptots: bool = True, force_chunk: int = 0):
-    """Packed-out encode, groups up to 4 MiB.  Same contract as
-    rans_encode: returns (stream halfword-expanded, finals, csize, stots).
+    """Packed-out encode, groups up to 4 MiB.  Returns (stream_words
+    [G, stream_word_rows(hrows_cap), 128] i32 — 2 LE halfwords per word,
+    the wire payload is exactly these words' first csize_hw*2 bytes —
+    finals, csize_hw, stots).  Keeping the output packed is load-bearing:
+    the halfword unpack this replaced (strided .at[0::2] scatter over the
+    whole out buffer) cost 7x the kernel itself (0.225 vs 1.64 GB/s).
 
     force_chunk (tests only) shrinks the src-chunk span so the multi-chunk
     path is exercised on small interpret-mode groups."""
@@ -592,7 +611,7 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     T = t4_count * spc
     tiles_span = 128 // spc
     chunk_t4, n_chunks = _enc_chunking(t4_count, spc, force_chunk)
-    hcap_p = ((hrows_cap + 1) // 2 + 8 + 7) // 8 * 8
+    hcap_p = stream_word_rows(hrows_cap)
     sect_rows = ((t4_count + tiles_span - 1) // tiles_span) * 8
 
     kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,
@@ -628,12 +647,7 @@ def rans_encode2(fc_tables, magic_tables, src_words,
         interpret=interpret,
     )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
 
-    # unpack words back to the halfword-expanded contract
-    w = out.reshape(G, hcap_p * 128)
-    hw = jnp.zeros((G, hrows_cap * 128), jnp.int32)
-    hw = hw.at[:, 0::2].set((w & 0xFFFF)[:, : (hrows_cap * 128 + 1) // 2])
-    hw = hw.at[:, 1::2].set(_srl(w, 16)[:, : hrows_cap * 128 // 2])
-    stream = hw.reshape(G, hrows_cap, 128)
+    stream = out.reshape(G, hcap_p, 128)
     tail = tail.reshape(G, 16, 128)
     if steptots:
         stots = (sect.reshape(G, sect_rows // 8, 8, 128)
@@ -914,7 +928,9 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    u16x: bool = False):
     """v2 decode.  steptots is either [G, T, 8] per-row renorm counts
     (FLAG_STEPTOTS wire) or [G, T] per-step totals (FLAG_TOTALS wire — the
-    row offsets are then recomputed in-kernel).
+    row offsets are then recomputed in-kernel).  streams is the PACKED
+    payload-word layout [G, stream_word_rows(hrows), 128] (see
+    pack_stream_words).
 
     Returns (out[G, t4_count*8, 128] i32, err[G] i32 with 0 = ok); err
     covers both corrupt chains (final states != L) and inconsistent
@@ -927,7 +943,8 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     tch = tables.shape[1]
     r8 = 0 if totals_only else ((T + 127) // 128) * 8
     rc = ((t4_count + 7) // 8) * 8
-    srows = ((hrows + 1) // 2 + 8 + 7) // 8 * 8
+    srows = stream_word_rows(hrows)
+    assert streams.shape[1] == srows, (streams.shape, srows)
 
     # pick the interleave width by the double-buffered VMEM budget
     per_group = (srows + rows_per + rc + r8 + tch + 8) * 512
@@ -948,11 +965,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     curs = jnp.zeros((G, rc, 128), jnp.int32).at[:, :t4_count, :spc].set(
         cursors.reshape(G, t4_count, spc).astype(jnp.int32))
 
-    # pack stream halfwords 2-per-word (little-endian pair order)
-    hw = streams.reshape(G, hrows * 128)
-    npairs = hrows * 128 // 2
-    packed = (hw[:, 0::2] | _sll(hw[:, 1::2], 16))[:, :npairs]
-    pk = jnp.zeros((G, srows * 128), jnp.int32).at[:, :npairs].set(packed)
+    pk = streams.reshape(G, srows * 128)
 
     common_specs = [
         pl.BlockSpec((nway, tch, 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),

@@ -157,7 +157,8 @@ def test_rans16_twin_roundtrip_and_device_interpret():
     from finitestateentropy_tpu.turbo.rans16 import (
         _pad_n16, parse_rans16_group, rans16_compress, rans16_decompress)
     from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_rans16_ctables, pack_rans16_dtable, rans_decode, rans_encode)
+        pack_rans16_ctables, pack_rans16_dtable, pack_stream_words,
+        rans_decode, rans_encode, stream_word_rows)
 
     rng = np.random.default_rng(11)
     d = np.clip((rng.pareto(1.2, 20480) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
@@ -188,8 +189,7 @@ def test_rans16_twin_roundtrip_and_device_interpret():
         np.asarray(fin)[0].reshape(-1).view(np.uint32), init)
 
     hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
-    hws = np.zeros((1, hrows, 128), np.int32)
-    hws.reshape(1, -1)[0, :cs] = got_hw
+    hws = pack_stream_words(payload, stream_word_rows(hrows))[None]
     out, err = rans_decode(
         jnp.asarray(np.array([cs], np.int32)),
         jnp.asarray(pack_rans16_dtable(norm)[None]),
@@ -237,7 +237,8 @@ def test_rans16_v2_speed_mode_interpret():
         FLAG_STEPTOTS, _pad_n16, parse_rans16_group, rans16_compress,
         rans16_decompress)
     from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_rans16_dtable, rans_decode_v2)
+        pack_rans16_dtable, pack_stream_words, rans_decode_v2,
+        stream_word_rows)
 
     rng = np.random.default_rng(12)
     d = np.clip((rng.pareto(1.2, 20480) * 50).astype(np.int64), 0, 1023).astype(np.uint16)
@@ -250,8 +251,7 @@ def test_rans16_v2_speed_mode_interpret():
     n_pad = _pad_n16(n)
     t2 = n_pad // 2048
     hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
-    hws = np.zeros((1, hrows, 128), np.int32)
-    hws.reshape(1, -1)[0, :cs] = np.frombuffer(payload, "<u2").astype(np.int32)
+    hws = pack_stream_words(payload, stream_word_rows(hrows))[None]
     out, err = rans_decode_v2(
         jnp.asarray(np.array([cs], np.int32)),
         jnp.asarray(pack_rans16_dtable(norm)[None]),
@@ -346,13 +346,17 @@ def test_rans_encode2_matches_v1_and_chunks_interpret():
     fcb, mgb = jnp.asarray(fc[None]), jnp.asarray(mg[None])
 
     s1, f1, c1, st1 = rans_encode(fcb, mgb, srcw, t4, hcap, True)
+    cs = int(c1[0])
+    # v1 contract: halfword-expanded; encode2: packed payload words — the
+    # wire bytes must agree
+    wire1 = (np.asarray(s1)[0].reshape(-1)[:cs].astype(np.uint16)
+             .astype("<u2").tobytes())
     for force in (0, 2, 1):   # single chunk, 2 chunks, t4 chunks
         s2, f2, c2, st2 = rans_encode2(fcb, mgb, srcw, t4, hcap, True,
                                        False, 11, True, force)
-        assert int(c2[0]) == int(c1[0])
-        cs = int(c1[0])
-        assert np.array_equal(np.asarray(s2)[0].reshape(-1)[:cs],
-                              np.asarray(s1)[0].reshape(-1)[:cs]), force
+        assert int(c2[0]) == cs
+        wire2 = np.ascontiguousarray(np.asarray(s2)[0]).tobytes()[: 2 * cs]
+        assert wire2 == wire1, force
         assert np.array_equal(np.asarray(f2), np.asarray(f1)), force
         assert np.array_equal(np.asarray(st2), np.asarray(st1)), force
 
