@@ -132,6 +132,30 @@ def sharded_turbo_roundtrip_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
     return jax.jit(fn)
 
 
+def sharded_turbo16_roundtrip(mesh: Mesh, t2_count: int, hrows_cap: int,
+                              interpret: bool = False, tlog: int = 11):
+    """u16 (fseU16-class) speed-mode round-trip over the mesh: encode2
+    (u16 symbols, packed out) -> v2 decode, sharded over dp.  Certifies
+    the u16 production wire in the multi-chip dry run (VERDICT r2 #8)."""
+
+    def local(fc, mg, srcw, dtbl):
+        stream, fin, csize, stots = rans_encode2(fc, mg, srcw, t2_count,
+                                                 hrows_cap, interpret,
+                                                 True, tlog, True)
+        out, err = rans_decode_v2(csize, dtbl, fin, stream, stots,
+                                  t2_count, hrows_cap, interpret, tlog, True)
+        ok = jnp.all(out == srcw) & jnp.all(err == 0)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "dp")
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return ok, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_turbo_roundtrip(mesh: Mesh, t4_count: int, hrows_cap: int,
                             interpret: bool = False):
     """Full encode -> decode -> verify step over the mesh (the multi-chip

@@ -37,10 +37,12 @@ def _hrows_cap(n_pad: int) -> int:
 
 
 def _prep_group(chunk: np.ndarray, table_log: int = RANS_TABLELOG):
-    """Host stats for one group; returns None for RLE/raw-destined groups."""
+    """Host stats for one group; returns None for RLE/raw-destined groups
+    (RLE when every byte is equal; raw when near-uniform, the reference's
+    maxCount <= srcSize>>7 heuristic, fse_compress.c:653-655)."""
     n = len(chunk)
     count, max_sv, max_count = hist_count(chunk, 255)
-    if max_count == n:
+    if max_count == n or max_count <= (n >> 7):
         return None
     tlog = min(table_log, fse_optimal_table_log(table_log, n, max_sv))
     norm, tlog = fse_normalize_count(tlog, count[: max_sv + 1], n, max_sv)
@@ -137,8 +139,13 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
         preps = [prep_group(ch, table_log) for ch in chunks]
     for gi, (ch, prep) in enumerate(zip(chunks, preps)):
         if prep is None:
-            passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RLE, 0) \
-                + bytes([ch[0]]) + b"\0" * 3
+            if (ch == ch[0]).all():  # RLE
+                passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0,
+                                            FLAG_RLE, 0) \
+                    + bytes([ch[0]]) + b"\0" * 3
+            else:                    # near-uniform: straight to raw
+                passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0,
+                                            FLAG_RAW, 0) + ch.tobytes()
             continue
         batches.setdefault(_pad_n(len(ch)), []).append((gi, ch, prep))
 

@@ -59,7 +59,8 @@ def _resident_compress_jit(xp, lens, n_pad: int, table_log: int,
 
     Returns (stream_words, final_states, csize_hw, steptots|None,
     norm [G,256], flags [G], mfs [G]).  flags: 0 coded, 1 RLE, 2/3
-    normalization error (refimpl parity; host raises).  Rows with
+    normalization error (refimpl parity; host raises), 4 near-uniform ->
+    raw (reference maxCount <= n>>7, fse_compress.c:653-655).  Rows with
     flags != 0 are encoded with a placeholder delta table — their stream
     output is well-formed garbage the caller discards."""
     import jax.numpy as jnp
@@ -71,6 +72,8 @@ def _resident_compress_jit(xp, lens, n_pad: int, table_log: int,
     G, cols = xp.shape
     counts = hist_count_masked(xp, cols, lens)
     norm, flags = fse_normalize_batch(counts, lens, table_log)
+    raw = jnp.max(counts, axis=1) <= (lens >> 7)
+    flags = jnp.where((flags != 1) & raw, 4, flags)
     mfs = jnp.argmax(counts, axis=1).astype(jnp.int32)
 
     # placeholder delta distribution for non-coded rows: keeps the table
@@ -161,7 +164,7 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
         flags_np = np.asarray(flags)
         norm_np = np.asarray(norm)
         mfs_np = np.asarray(mfs)
-        if (flags_np >= 2).any():
+        if ((flags_np == 2) | (flags_np == 3)).any():
             raise FSEError("normalization failed on device "
                            f"(flags {flags_np.tolist()})")
         fin_np = np.asarray(fin)
@@ -176,6 +179,11 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
             if flags_np[j] == 1:   # RLE
                 results[gi] = _HDR.pack(RANS_MAGIC, ln, 0, 0, FLAG_RLE, 0) \
                     + bytes([int(mfs_np[j])]) + b"\0" * 3
+                continue
+            if flags_np[j] == 4:   # near-uniform: straight to raw
+                raw = np.asarray(jax.lax.dynamic_slice(x, (st,), (ln,)))
+                results[gi] = _HDR.pack(RANS_MAGIC, ln, 0, 0, FLAG_RAW,
+                                        0) + raw.tobytes()
                 continue
             cs = int(csize_np[j])
             payload = stream_np[j].tobytes()[: 2 * cs]

@@ -97,6 +97,11 @@ def rans_compress(data: bytes, table_log: int = 0,
     count, max_sv, max_count = hist_count(src, 255)
     if max_count == n:
         return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RLE, 0) + bytes([src[0]]) + b"\0" * 3
+    if max_count <= (n >> 7):
+        # near-uniform data is not compressible: the reference's heuristic
+        # (fse_compress.c:653-655) applied before paying for the encode —
+        # the raw fallback after encoding would pick the same bytes
+        return _HDR.pack(RANS_MAGIC, n, 0, 0, FLAG_RAW, 0) + data
 
     table_log = min(table_log, fse_optimal_table_log(table_log, n, max_sv))
     norm, table_log = fse_normalize_count(table_log, count[: max_sv + 1], n, max_sv)

@@ -21,6 +21,10 @@
 #include <thread>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int kLanes = 1024;
@@ -316,6 +320,194 @@ int read_ncount(int16_t* norm, int* max_sv_out, int* table_log_out,
 }
 
 // ---------------------------------------------------------------------------
+// AVX2 lane kernels.  The 1024-lane interleaved format was designed for
+// vector machines; on the host the same structure maps onto 8-lane ymm
+// blocks: the state advance/table lookup is data-parallel across lanes and
+// only the halfword cursor is serial, which collapses to a per-step rank
+// (prefix popcount of the renorm flags) exactly like the Pallas kernels'
+// matmul prefix (rans_kernels.py).  Same wire bytes as the scalar path.
+// ---------------------------------------------------------------------------
+
+#if defined(__AVX2__)
+
+// inclusive prefix popcount per lane of an 8-bit mask
+struct PrefixLut {
+  alignas(64) uint8_t t[256][8];
+  PrefixLut() {
+    for (int m = 0; m < 256; ++m) {
+      int r = 0;
+      for (int j = 0; j < 8; ++j) {
+        r += (m >> j) & 1;
+        t[m][j] = uint8_t(r);
+      }
+    }
+  }
+};
+const PrefixLut g_prefix;
+
+// pshufb control compacting the flagged lanes' u16s to the front in
+// DESCENDING lane order (the wire's within-step emission order)
+struct CompactLut {
+  alignas(64) uint8_t t[256][16];
+  CompactLut() {
+    for (int m = 0; m < 256; ++m) {
+      int o = 0;
+      for (int j = 7; j >= 0; --j)
+        if ((m >> j) & 1) {
+          t[m][o++] = uint8_t(2 * j);
+          t[m][o++] = uint8_t(2 * j + 1);
+        }
+      for (; o < 16; ++o) t[m][o] = 0x80;
+    }
+  }
+};
+const CompactLut g_compact;
+
+inline __m256i mulhi_epu32(__m256i a, __m256i b) {
+  __m256i lo = _mm256_srli_epi64(_mm256_mul_epu32(a, b), 32);
+  __m256i hi = _mm256_mul_epu32(_mm256_srli_epi64(a, 32),
+                                _mm256_srli_epi64(b, 32));
+  hi = _mm256_and_si256(hi, _mm256_set1_epi64x(int64_t(0xFFFFFFFF00000000ull)));
+  return _mm256_or_si256(lo, hi);
+}
+
+inline __m256i cmpge_epu32(__m256i a, __m256i b) {  // (a >= b) ? -1 : 0
+  const __m256i s = _mm256_set1_epi32(int32_t(0x80000000u));
+  __m256i lt = _mm256_cmpgt_epi32(_mm256_xor_si256(b, s),
+                                  _mm256_xor_si256(a, s));
+  return _mm256_xor_si256(lt, _mm256_set1_epi32(-1));
+}
+
+// One decode step over all 1024 lanes.  syms: 1024 decoded bytes out.
+// Returns the new cursor.  hw_s points at a scratch copy of the payload
+// with >= 2 bytes of tail slack (gathers read 32 bits at 2*pos).
+inline int64_t decode_step_avx2(uint32_t* x, const uint32_t* tbl, int tl,
+                                const uint8_t* hw_s, int64_t csize,
+                                int64_t cursor, uint8_t* syms) {
+  const __m256i slot_mask = _mm256_set1_epi32((1 << tl) - 1);
+  const __m256i ff = _mm256_set1_epi32(0xFFF);
+  const __m256i czero = _mm256_setzero_si256();
+  const __m256i csz = _mm256_set1_epi32(int32_t(csize));
+  const __m256i pack_b0 = _mm256_setr_epi8(
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+      0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1);
+  // pass 1: advance all lanes (pure ILP, no loop-carried scalar); the
+  // renorm gathers run in pass 2 off precomputed cursor bases so their
+  // addresses never wait on the previous block's popcount
+  alignas(32) static thread_local uint8_t masks[kLanes / 8];
+  int base[kLanes / 8 + 1];
+  base[0] = 0;
+  for (int b = 0; b < kLanes / 8; ++b) {
+    __m256i xv = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i slot = _mm256_and_si256(xv, slot_mask);
+    __m256i e = _mm256_i32gather_epi32((const int*)tbl, slot, 4);
+    // pack e's low bytes (the symbols) into 8 contiguous bytes
+    __m256i pb = _mm256_shuffle_epi8(e, pack_b0);
+    *(uint32_t*)(syms + 8 * b) =
+        uint32_t(_mm_cvtsi128_si32(_mm256_castsi256_si128(pb)));
+    *(uint32_t*)(syms + 8 * b + 4) =
+        uint32_t(_mm_cvtsi128_si32(_mm256_extracti128_si256(pb, 1)));
+    __m256i f = _mm256_and_si256(_mm256_srli_epi32(e, 8), ff);
+    __m256i xn = _mm256_add_epi32(
+        _mm256_mullo_epi32(f, _mm256_srli_epi32(xv, tl)),
+        _mm256_srli_epi32(e, 20));
+    __m256i flag = _mm256_cmpeq_epi32(_mm256_srli_epi32(xn, 16), czero);
+    uint8_t m = uint8_t(_mm256_movemask_ps(_mm256_castsi256_ps(flag)));
+    masks[b] = m;
+    base[b + 1] = base[b] + __builtin_popcount(m);
+    _mm256_store_si256((__m256i*)(x + 8 * b), xn);
+  }
+  // pass 2: renorm only the blocks that need it
+  for (int b = 0; b < kLanes / 8; ++b) {
+    uint8_t m = masks[b];
+    if (!m) continue;
+    __m256i xn = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i flag = _mm256_cmpeq_epi32(_mm256_srli_epi32(xn, 16), czero);
+    __m256i rank = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64((const __m128i*)g_prefix.t[m]));
+    __m256i pos = _mm256_sub_epi32(
+        _mm256_set1_epi32(int32_t(cursor - base[b])), rank);
+    __m256i oob = _mm256_or_si256(
+        _mm256_cmpgt_epi32(czero, pos),
+        _mm256_xor_si256(_mm256_cmpgt_epi32(csz, pos),
+                         _mm256_set1_epi32(-1)));
+    __m256i posc = _mm256_max_epi32(
+        _mm256_min_epi32(pos, _mm256_sub_epi32(csz, _mm256_set1_epi32(1))),
+        czero);
+    __m256i v = _mm256_i32gather_epi32((const int*)hw_s, posc, 2);
+    v = _mm256_andnot_si256(oob, _mm256_and_si256(v, _mm256_set1_epi32(0xFFFF)));
+    _mm256_store_si256(
+        (__m256i*)(x + 8 * b),
+        _mm256_blendv_epi8(
+            xn, _mm256_or_si256(_mm256_slli_epi32(xn, 16), v), flag));
+  }
+  return cursor - base[kLanes / 8];
+}
+
+// One encode step over all 1024 lanes.  words: the supercycle's 1024 src
+// u32 words; p: byte position within the word.  Emits flagged lanes'
+// halfwords in DESCENDING lane order at hw[pos...]; returns new pos.
+inline uint64_t encode_step_avx2(uint32_t* x, const uint32_t* fc_tbl,
+                                 const uint32_t* magic_tbl, int tl,
+                                 const uint32_t* words, int p,
+                                 uint16_t* hw, uint64_t pos, uint64_t hw_cap,
+                                 bool* overflow) {
+  // per-block emissions pre-compacted (descending lane order) in pass 1;
+  // pass 2 stitches blocks high->low with unconditional 16-byte stores
+  alignas(32) static thread_local uint16_t stage[kLanes];
+  static thread_local uint8_t cnt[kLanes / 8];
+  const __m256i bytemask = _mm256_set1_epi32(0xFF);
+  const __m256i fmask = _mm256_set1_epi32(0xFFF);
+  int shift = 8 * p;
+  uint64_t total = 0;
+  for (int b = 0; b < kLanes / 8; ++b) {
+    __m256i wv = _mm256_loadu_si256((const __m256i*)(words + 8 * b));
+    __m256i sym = _mm256_and_si256(_mm256_srli_epi32(wv, shift), bytemask);
+    __m256i fce = _mm256_i32gather_epi32((const int*)fc_tbl, sym, 4);
+    __m256i mg = _mm256_i32gather_epi32((const int*)magic_tbl, sym, 4);
+    __m256i f = _mm256_and_si256(fce, fmask);
+    __m256i c = _mm256_srli_epi32(fce, 12);
+    __m256i xv = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i flag = cmpge_epu32(xv, _mm256_slli_epi32(f, 32 - tl));
+    uint8_t m = uint8_t(_mm256_movemask_ps(_mm256_castsi256_ps(flag)));
+    // compact this block's flagged low halves, descending lane order
+    __m128i e16 = _mm_packus_epi32(
+        _mm_and_si128(_mm256_castsi256_si128(xv), _mm_set1_epi32(0xFFFF)),
+        _mm_and_si128(_mm256_extracti128_si256(xv, 1),
+                      _mm_set1_epi32(0xFFFF)));
+    _mm_storeu_si128(
+        (__m128i*)(stage + 8 * b),
+        _mm_shuffle_epi8(e16, _mm_load_si128((const __m128i*)g_compact.t[m])));
+    cnt[b] = uint8_t(__builtin_popcount(m));
+    total += cnt[b];
+    xv = _mm256_blendv_epi8(xv, _mm256_srli_epi32(xv, 16), flag);
+    __m256i q = mulhi_epu32(xv, mg);
+    __m256i r = _mm256_sub_epi32(xv, _mm256_mullo_epi32(q, f));
+    __m256i big = cmpge_epu32(r, f);
+    q = _mm256_sub_epi32(q, big);                        // big is -1: ++q
+    r = _mm256_sub_epi32(r, _mm256_and_si256(big, f));   // r -= f
+    big = cmpge_epu32(r, f);
+    q = _mm256_sub_epi32(q, big);
+    r = _mm256_sub_epi32(r, _mm256_and_si256(big, f));
+    _mm256_store_si256(
+        (__m256i*)(x + 8 * b),
+        _mm256_add_epi32(_mm256_add_epi32(_mm256_slli_epi32(q, tl), c), r));
+  }
+  if (pos + total + 8 > hw_cap) {  // +8: stitch stores write 16B blocks
+    *overflow = true;
+    return pos;
+  }
+  for (int b = kLanes / 8 - 1; b >= 0; --b) {
+    _mm_storeu_si128((__m128i*)(hw + pos),
+                     _mm_load_si128((const __m128i*)(stage + 8 * b)));
+    pos += cnt[b];
+  }
+  return pos;
+}
+
+#endif  // __AVX2__
+
+// ---------------------------------------------------------------------------
 // Group codec
 // ---------------------------------------------------------------------------
 
@@ -376,7 +568,8 @@ int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
   int mfs = 0;
   for (int s = 0; s <= max_sv; ++s)
     if (count[s] > max_count) { max_count = count[s]; mfs = s; }
-  if (max_count == n) return 0;  // RLE
+  if (max_count == n) return 0;        // RLE
+  if (max_count <= (n >> 7)) return 0;  // near-uniform -> raw
   int16_t norm[256];
   if (normalize_count(norm, tlog, count, n, max_sv) != tlog)
     return -1;
@@ -414,6 +607,13 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
     dst[17] = dst[18] = dst[19] = 0;
     return 20;
   }
+  if (max_count <= (n >> 7)) {  // reference's incompressibility heuristic
+    if (cap < 16 + n) return -1;  // (fse_compress.c:653-655): straight raw
+    Header h{kMagic, uint32_t(n), 0, 0, kFlagRaw, 0};
+    put_header(dst, h);
+    std::memcpy(dst + 16, src, n);
+    return int64_t(16 + n);
+  }
 
   int16_t norm[256];
   int tl = normalize_count(norm, kTableLog, count, n, max_sv);
@@ -449,12 +649,31 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
     uint16_t* hw = reinterpret_cast<uint16_t*>(dst + header_bytes);
     uint64_t hw_pos = 0;
 
-    static thread_local uint32_t x[kLanes];
+    alignas(32) static thread_local uint32_t x[kLanes];
     for (int k = 0; k < kLanes; ++k) x[k] = kL;
+
+#if defined(__AVX2__)
+    // packed fc = (cumul << 12) | freq, the kernels' table layout
+    static thread_local uint32_t fc_tbl[256];
+    for (int s = 0; s <= max_sv; ++s) fc_tbl[s] = (cumul[s] << 12) | freq[s];
+#endif
 
     // steps t = T-1 .. 0; within a step lanes descend (reverse of the
     // decoder's ascending-lane reads); emissions append forward
     for (int t = T - 1; t >= 0; --t) {
+#if defined(__AVX2__)
+      if (uint64_t(t >> 2) * kStepSyms + kStepSyms <= n) {
+        // full supercycle region: the step's 1024 src words are direct
+        // contiguous loads (sym_index(t,k) = word (t>>2)*1024+k, byte t&3)
+        const uint8_t* wbase = src + uint64_t(t >> 2) * kStepSyms;
+        bool overflow = false;
+        hw_pos = encode_step_avx2(x, fc_tbl, magic, kTableLog,
+                                  (const uint32_t*)wbase, t & 3, hw, hw_pos,
+                                  hw_cap, &overflow);
+        if (overflow) goto raw;
+        continue;
+      }
+#endif
       for (int k = kLanes - 1; k >= 0; --k) {
         int64_t i = sym_index(t, k);
         uint32_t s = (uint64_t(i) < n) ? src[i] : uint32_t(mfs);
@@ -597,13 +816,46 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
 
   uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
   int T = int(n_pad / kLanes);
-  static thread_local uint32_t x[kLanes];
+  alignas(32) static thread_local uint32_t x[kLanes];
   static thread_local uint8_t syms[kLanes];
   static thread_local uint8_t flags[kLanes];
   std::memcpy(x, init, 4 * kLanes);
   int64_t cursor = h.csize_hw;
   uint64_t full_t = h.n_sym / kStepSyms * 4;  // steps with no dst guard
 
+#if defined(__AVX2__)
+  // scratch copy of the payload with gather tail slack (the vector renorm
+  // reads 32 bits at hw + 2*pos for pos <= csize-1)
+  static thread_local std::vector<uint8_t> hw_scratch;
+  hw_scratch.resize(size_t(2 * h.csize_hw + 32));
+  std::memcpy(hw_scratch.data(), hw, size_t(2 * h.csize_hw));
+  alignas(32) static thread_local uint8_t symbuf[4][kLanes];
+
+  for (int t4 = 0; t4 < T / 4; ++t4) {
+    for (int p = 0; p < 4; ++p)
+      cursor = decode_step_avx2(x, tbl, tl, hw_scratch.data(),
+                                int64_t(h.csize_hw), cursor, symbuf[p]);
+    uint8_t* base = dst + uint64_t(t4) * kStepSyms;
+    if (uint64_t(t4 + 1) * kStepSyms <= h.n_sym) {
+      // interleave 4 step rows into contiguous bytes: out word k =
+      // p0[k] | p1[k]<<8 | p2[k]<<16 | p3[k]<<24  (auto-vectorizes)
+      uint32_t* ob = reinterpret_cast<uint32_t*>(base);
+      const uint8_t *s0 = symbuf[0], *s1 = symbuf[1], *s2 = symbuf[2],
+                    *s3 = symbuf[3];
+      for (int k = 0; k < kLanes; ++k) {
+        uint32_t wv = uint32_t(s0[k]) | (uint32_t(s1[k]) << 8) |
+                      (uint32_t(s2[k]) << 16) | (uint32_t(s3[k]) << 24);
+        std::memcpy(ob + k, &wv, 4);
+      }
+    } else {
+      for (int p = 0; p < 4; ++p)
+        for (int k = 0; k < kLanes; ++k) {
+          int64_t i = sym_index(4 * t4 + p, k);
+          if (uint64_t(i) < h.n_sym) dst[i] = symbuf[p][k];
+        }
+    }
+  }
+#else
   for (int t = 0; t < T; ++t) {
     // pass 1: advance all lanes (vectorizable — no cross-lane dependence)
     for (int k = 0; k < kLanes; ++k) {
@@ -635,6 +887,7 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
       }
     }
   }
+#endif
   if (cursor != 0) return -5;
   for (int k = 0; k < kLanes; ++k)
     if (x[k] != kL) return -5;

@@ -415,3 +415,44 @@ def test_default_wire_tablelogs():
     assert g[2] == 11
     g, _ = parse_rans_group(rans_compress(data, table_log=12))
     assert g[2] == 12
+
+
+def test_rans_encode2_u16_matches_v1_interpret():
+    """encode2 with u16 symbols produces the same wire as the v1 kernel
+    (the mesh u16 roundtrip wrapper ships encode2)."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.refimpl.norm import fse_normalize_count
+    from finitestateentropy_tpu.turbo.rans16 import _pad_n16
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans16_ctables, rans_encode, rans_encode2)
+
+    rng = np.random.default_rng(31)
+    nsym = 6144
+    d = np.clip((rng.pareto(1.2, nsym) * 50).astype(np.int64),
+                0, 1023).astype(np.uint16)
+    count = np.bincount(d, minlength=1024)
+    max_sv = int(d.max())
+    norm, _tl = fse_normalize_count(11, count[: max_sv + 1], nsym, max_sv)
+    fc, mg = pack_rans16_ctables(norm)
+    n_pad = _pad_n16(nsym)
+    t2 = n_pad // 2048
+    hcap = (n_pad // 128 + 16 + 7) // 8 * 8
+    mfs = int(count.argmax())
+    pad = np.full(n_pad, mfs, np.uint16)
+    pad[:nsym] = d
+    srcw = jnp.asarray(pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128))
+    fcb, mgb = jnp.asarray(fc[None]), jnp.asarray(mg[None])
+
+    s1, f1, c1, st1 = rans_encode(fcb, mgb, srcw, t2, hcap, True, True)
+    cs = int(c1[0])
+    wire1 = (np.asarray(s1)[0].reshape(-1)[:cs].astype(np.uint16)
+             .astype("<u2").tobytes())
+    for force in (0, 1):
+        s2, f2, c2, st2 = rans_encode2(fcb, mgb, srcw, t2, hcap, True,
+                                       True, 11, True, force)
+        assert int(c2[0]) == cs
+        wire2 = np.ascontiguousarray(np.asarray(s2)[0]).tobytes()[: 2 * cs]
+        assert wire2 == wire1, force
+        assert np.array_equal(np.asarray(f2), np.asarray(f1)), force
+        assert np.array_equal(np.asarray(st2), np.asarray(st1)), force
