@@ -156,9 +156,9 @@ def _vw_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref, cur_ref,
         res_ref[gg] = xs[gg] ^ RANS_L     # last chunk's write is kept
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
-                  t4_count, hrows, nway, tlog, S):
+                  t4_count, hrows, nway, tlog, S, interpret=False):
     G0 = tables.shape[0]
     T = steptots.shape[1]
     tch = tables.shape[1]
@@ -235,16 +235,18 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
             jax.ShapeDtypeStruct((G, t4_count * 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.int32),
         ],
+        interpret=interpret,
     )(ws, tables, init_states, streams, roff, curs)
     err = jnp.abs(res).max(axis=(1, 2)) + bad.astype(jnp.int32)
     return out[:G0], err[:G0]
 
 
 def build_inputs(G, mib=1, proba=80):
+    nbytes = int(mib * (1 << 20))
     data = generate_proba(proba)
-    while len(data) < mib << 20:
+    while len(data) < nbytes:
         data = data + data
-    data = data[: mib << 20]
+    data = data[:nbytes]
     blob = rans_compress(bytes(data), steptots=True)
     (n, csize_hw, tlog, flags, norm, max_sv, init, payload,
      stots), _ = parse_rans_group(blob)
@@ -271,7 +273,7 @@ def build_inputs(G, mib=1, proba=80):
 
 
 def run_variant(name, nway, S, mib=1, proba=80, reps=6):
-    base_groups = max(1, 32 // mib)
+    base_groups = max(1, int(32 // mib))
     G_small = ((base_groups + nway - 1) // nway) * nway
     G_big = ((4 * base_groups + nway - 1) // nway) * nway
     args_s, t4, hrows, data, n, tlog = build_inputs(G_small, mib, proba)
@@ -298,7 +300,7 @@ def run_variant(name, nway, S, mib=1, proba=80, reps=6):
     ob = np.asarray(out)[0].astype("<i4").tobytes()[:n]
     assert ob == data, f"{name}: decode bytes wrong"
     t_b, _ = timeit(args_b, G_big)
-    gbs = (G_big - G_small) * (mib << 20) / (t_b - t_s) / 1e9
+    gbs = (G_big - G_small) * int(mib * (1 << 20)) / (t_b - t_s) / 1e9
     print(f"{name}: nway={nway} S={S} {mib}MiB p{proba:02d}  "
           f"{gbs:.2f} GB/s  (t_small {t_s*1e3:.1f} ms, t_big {t_b*1e3:.1f} ms)")
     return gbs

@@ -288,8 +288,13 @@ def check():
                                        10, True, force)
         cs = int(np.asarray(c1)[0])
         assert int(np.asarray(c2)[0]) == cs, (proba, force)
-        ok_s = np.array_equal(np.asarray(s2)[0].reshape(-1)[:cs],
-                              np.asarray(s1)[0].reshape(-1)[:cs])
+        # encode2 returns PACKED words (2 LE halfwords each); encode4's
+        # wrapper unpacks to one halfword per element — unpack before diff
+        w1 = np.asarray(s1)[0].reshape(-1)
+        hw1 = np.zeros(2 * len(w1), np.int64)
+        hw1[0::2] = w1 & 0xFFFF
+        hw1[1::2] = (w1 >> 16) & 0xFFFF
+        ok_s = np.array_equal(np.asarray(s2)[0].reshape(-1)[:cs], hw1[:cs])
         ok_f = np.array_equal(np.asarray(f2), np.asarray(f1))
         ok_t = np.array_equal(np.asarray(st2), np.asarray(st1))
         print(f"p{proba:02d} force={force}: stream={ok_s} fin={ok_f} "

@@ -1,5 +1,18 @@
 """Probe: two-level (row-local) pull placement for the encode kernel.
 
+VERDICT (r3): UNSOUND AS DESIGNED — kept as a lab note.  The "pre-gather
+row rr's within-row ranks" trick builds wrow[slot] = within[rr[slot],
+slot.lane], but the binary search then gathers wrow at lane `mid`, which
+reads within[rr[OTHER slot], mid] — the rr of whichever slot sits at lane
+`mid`, not this slot's row.  It only coincides when every slot in a
+sublane shares one rr (localized via tools/dbg_rl.py: first emitting step,
+wants 4..1 all returned lane of the wrong row).  Fixing it requires the
+row-select back inside the loop (7x8-chunk selects ~= the flat search's
+10x8, no win).  The sound decomposition is probe_encode4.py: place each
+ROW's emissions via its own (16,128) subrow window, where slot row ==
+searched row and take_along_axis needs no chunk select at all — that
+probe is byte-identical to the shipped wire on all corpora.
+
 The shipped encode is issue-bound by the placement searches: each packed
 out word runs TWO 10-iteration binary searches over the FLAT 1024-lane
 rank, and every iteration pays an 8-chunk cross-row gather (~24 vector
@@ -181,9 +194,9 @@ def _rl_encode_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
     tail_ref[8:16, :] = jnp.full(shape, cursor, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 def rl_encode(fc_tables, magic_tables, src_words, t4_count, hrows_cap,
-              tlog, scalar_rowpre=False):
+              tlog, scalar_rowpre=False, interpret=False):
     G = fc_tables.shape[0]
     nch = fc_tables.shape[1]
     tiles_span = 32
@@ -211,6 +224,7 @@ def rl_encode(fc_tables, magic_tables, src_words, t4_count, hrows_cap,
             jax.ShapeDtypeStruct((G * sect_rows, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        interpret=interpret,
     )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
     stream = out.reshape(G, hcap_p, 128)
     tail = tail.reshape(G, 16, 128)
