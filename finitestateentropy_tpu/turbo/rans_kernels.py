@@ -578,6 +578,167 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
     tail_ref[8:16, :] = jnp.full(shape, cursor, jnp.int32)
 
 
+def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
+                           sect_ref, scr_ref, xs_ref, cv_ref, tile_ref,
+                           *, chunk_t4, n_chunks, hcap_p,
+                           tlog=RANS_TABLELOG, steptots=True):
+    """Row-local placement variant of _rans_encode2_kernel (bytes only).
+
+    Same wire, different placement: the packed-stream placement rule
+    (halfword cursor+total-k holds the lane with flat rank k, ranks
+    row-major) makes each sublane ROW's step emissions CONTIGUOUS in the
+    stream — row r owns halfwords [cursor+total-offs[r]-rowtot[r],
+    cursor+total-offs[r]).  So instead of two 10-iteration binary searches
+    over the flat 1024-lane rank (each iteration an 8-chunk cross-row
+    gather, ~500 vreg ops/step — the issue-bound part of the shipped
+    kernel, PERFORMANCE.md), place each row independently: a (16,128)
+    slot grid (subrow sr = window word-row sr//8 of source row sr%8)
+    where slot row == searched row, so the 7-iteration within-row binary
+    search needs ONE plain take_along_axis per iteration and no chunk
+    select.  The price: 16 read-modify-write [1,128] stores per step and
+    8 row-offset scalar reads.  Byte-identical to _rans_encode2_kernel
+    on all corpora (tests/test_turbo.py)."""
+    shape = (8, 128)
+    tria = _make_tria()
+    thresh_shift = 32 - tlog
+    lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    tiles_span = 32
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        xs_ref[...] = jnp.full(shape, RANS_L, jnp.int32)
+        cv_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
+        tile_ref[...] = jnp.zeros(shape, jnp.int32)
+
+    def div(x, f, m):
+        q = _mulhi32(x, m)
+        r = x - q * f
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        r = jnp.where(big, r - f, r)
+        big = _uge(r, f)
+        q = jnp.where(big, q + 1, q)
+        return q, jnp.where(big, r - f, r)
+
+    shape16 = (16, 128)
+    lanes16 = jax.lax.broadcasted_iota(jnp.int32, shape16, 1)
+    sub16 = jax.lax.broadcasted_iota(jnp.int32, shape16, 0)
+    row16 = sub16 & 7          # source row of this subrow
+    wrow16 = _srl(sub16, 3)    # window word-row (0 or 1)
+
+    def step(x, cursor, tile, t, word, p):
+        sym = _srl(word, 8 * p) & 0xFF
+        shi = _srl(sym, 7)
+        slo = sym & 127
+        e = jnp.zeros(shape, jnp.int32)
+        m = jnp.zeros(shape, jnp.int32)
+        for h in range(2):
+            frow = jnp.broadcast_to(fc_ref[0, h : h + 1, :], shape)
+            mrow = jnp.broadcast_to(magic_ref[0, h : h + 1, :], shape)
+            hit = shi == h
+            e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
+            m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
+        f = e & 0xFFF
+        cu = _srl(e, 12) & 0xFFF
+
+        flag = _uge(x, _sll(f, thresh_shift))
+        emit = x & 0xFFFF
+        x = jnp.where(flag, _srl(x, 16), x)
+        q, r = div(x, f, m)
+        x = _sll(q, tlog) + cu + r
+
+        # within-row inclusive rank: ONE matmul; row totals -> scratch
+        aug = jax.lax.dot_general(
+            flag.astype(jnp.int32).astype(jnp.bfloat16), tria,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        within = aug[:, :128].astype(jnp.int32)
+        scr_ref[0:8, 0:1] = aug[:, 128:129].astype(jnp.int32)
+        if steptots:
+            rowtot_b = jnp.broadcast_to(aug[:, 128:129], shape).astype(jnp.int32)
+            tile = jnp.where(lanes8 == (t & 127), rowtot_b, tile)
+        offs = []
+        acc = 0
+        for rr in range(8):
+            offs.append(acc)
+            acc = acc + scr_ref[rr, 0]
+        total = acc
+
+        # per-row 2-word-row windows; spans <= 128 hw + misalign < 256 hw
+        ct = cursor + total
+        kvec = jnp.zeros(shape16, jnp.int32)
+        bvec = jnp.zeros(shape16, jnp.int32)
+        bws = []
+        for rr in range(8):
+            k_r = ct - offs[rr]
+            start_r = k_r - scr_ref[rr, 0]          # first halfword written
+            bw_r = jnp.clip(_srl(start_r, 8), 0, hcap_p - 2)
+            bws.append(bw_r)
+            hit = row16 == rr
+            kvec = jnp.where(hit, k_r, kvec)
+            bvec = jnp.where(hit, bw_r, bvec)
+        posw = (bvec + wrow16) * 128 + lanes16       # word index
+        want0 = kvec - 2 * posw                      # rank wanted at lo hw
+        want1 = want0 - 1
+        rt16 = jnp.zeros(shape16, jnp.int32)
+        for rr in range(8):
+            rt16 = jnp.where(row16 == rr, scr_ref[rr, 0], rt16)
+
+        w2 = jnp.concatenate([within, within], axis=0)    # (16,128)
+        e2 = jnp.concatenate([emit, emit], axis=0)
+
+        def search(want):
+            lo = jnp.zeros(shape16, jnp.int32)
+            hi = jnp.full(shape16, 127, jnp.int32)
+            for _ in range(7):
+                mid = _srl(lo + hi, 1)
+                rv = jnp.take_along_axis(w2, mid, axis=1)
+                ge = rv >= want
+                hi = jnp.where(ge, mid, hi)
+                lo = jnp.where(ge, lo, mid + 1)
+            return jnp.take_along_axis(e2, hi, axis=1)
+
+        v0 = search(want0)
+        v1 = search(want1)
+        valid0 = (want0 >= 1) & (want0 <= rt16)
+        valid1 = (want1 >= 1) & (want1 <= rt16)
+        for rr in range(8):
+            for w in range(2):
+                sr = w * 8 + rr
+                old = out_ref[pl.ds(bws[rr] + w, 1), :]
+                lo16 = jnp.where(valid0[sr : sr + 1, :], v0[sr : sr + 1, :],
+                                 old & 0xFFFF)
+                hi16 = jnp.where(valid1[sr : sr + 1, :], v1[sr : sr + 1, :],
+                                 _srl(old, 16))
+                out_ref[pl.ds(bws[rr] + w, 1), :] = lo16 | _sll(hi16, 16)
+        return x, cursor + total, tile
+
+    def body(i, carry):
+        x, cursor, tile = carry
+        lt4 = chunk_t4 - 1 - i
+        t4 = (n_chunks - 1 - c) * chunk_t4 + lt4
+        tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
+                         jnp.zeros(shape, jnp.int32), tile)
+        word = src_ref[pl.ds(lt4 * 8, 8), :]
+        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 3, word, 3)
+        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
+        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
+        x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
+        if steptots:
+            sect_ref[pl.ds((t4 // tiles_span) * 8, 8), :] = tile
+        return x, cursor, tile
+
+    x0 = xs_ref[...]
+    cursor0 = cv_ref[0, 0]
+    x, cursor, tile_f = jax.lax.fori_loop(
+        0, chunk_t4, body, (x0, cursor0, tile_ref[...]))
+    xs_ref[...] = x
+    cv_ref[0:1, 0:1] = jnp.full((1, 1), cursor, jnp.int32)
+    tile_ref[...] = tile_f
+    tail_ref[0:8, :] = x
+    tail_ref[8:16, :] = jnp.full(shape, cursor, jnp.int32)
+
+
 def _enc_chunking(t4_count: int, spc: int, force_chunk: int = 0) -> tuple[int, int]:
     """(chunk_t4, n_chunks): chunk src reads when a group exceeds 1 MiB of
     supercycles; chunk must align to the steptot tile span (128//spc)."""
@@ -591,11 +752,12 @@ def _enc_chunking(t4_count: int, spc: int, force_chunk: int = 0) -> tuple[int, i
     return max_chunk, t4_count // max_chunk
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def rans_encode2(fc_tables, magic_tables, src_words,
                  t4_count: int, hrows_cap: int, interpret: bool = False,
                  u16: bool = False, tlog: int = RANS_TABLELOG,
-                 steptots: bool = True, force_chunk: int = 0):
+                 steptots: bool = True, force_chunk: int = 0,
+                 rowloc: bool = False):
     """Packed-out encode, groups up to 4 MiB.  Returns (stream_words
     [G, stream_word_rows(hrows_cap), 128] i32 — 2 LE halfwords per word,
     the wire payload is exactly these words' first csize_hw*2 bytes —
@@ -603,8 +765,10 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     the halfword unpack this replaced (strided .at[0::2] scatter over the
     whole out buffer) cost 7x the kernel itself (0.225 vs 1.64 GB/s).
 
-    force_chunk (tests only) shrinks the src-chunk span so the multi-chunk
-    path is exercised on small interpret-mode groups."""
+    rowloc selects the row-local placement kernel (bytes only, identical
+    wire; see _rans_encode_rl_kernel).  force_chunk (tests only) shrinks
+    the src-chunk span so the multi-chunk path is exercised on small
+    interpret-mode groups."""
     G = fc_tables.shape[0]
     nch = fc_tables.shape[1]
     spc = 2 if u16 else 4
@@ -614,9 +778,16 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     hcap_p = stream_word_rows(hrows_cap)
     sect_rows = ((t4_count + tiles_span - 1) // tiles_span) * 8
 
-    kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,
-                             n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
-                             tlog=tlog, steptots=steptots)
+    if rowloc:
+        if u16:
+            raise ValueError("rowloc placement supports byte symbols only")
+        kern = functools.partial(_rans_encode_rl_kernel, chunk_t4=chunk_t4,
+                                 n_chunks=n_chunks, hcap_p=hcap_p,
+                                 tlog=tlog, steptots=steptots)
+    else:
+        kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,
+                                 n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
+                                 tlog=tlog, steptots=steptots)
     out, tail, sect = pl.pallas_call(
         kern,
         grid=(G, n_chunks),

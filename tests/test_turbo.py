@@ -456,3 +456,45 @@ def test_rans_encode2_u16_matches_v1_interpret():
         assert wire2 == wire1, force
         assert np.array_equal(np.asarray(f2), np.asarray(f1)), force
         assert np.array_equal(np.asarray(st2), np.asarray(st1)), force
+
+
+def test_rans_encode2_rowloc_matches_flat_interpret():
+    """Row-local placement (rans_encode2 rowloc=True) is byte-identical to
+    the flat-search kernel: same stream words, finals, csize, steptots —
+    including the multi-chunk path and a near-raw corpus."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.api import _hrows_cap, _prep_group
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans_ctables, rans_encode2)
+
+    for proba, gsz, tlog, force in ((80, 16384, 11, 0), (80, 16384, 10, 2),
+                                    (2, 8192, 10, 0)):
+        data = generate_proba(proba)[:gsz]
+        src = np.frombuffer(data, np.uint8)
+        norm, max_sv, ncount, mfs = _prep_group(src, tlog)
+        n_pad = _pad_n(gsz)
+        t4 = n_pad // TURBO_STEP_SYMS
+        hcap = _hrows_cap(n_pad)
+        fc, mg = pack_rans_ctables(norm)
+        pad = np.full(n_pad, mfs, np.uint8)
+        pad[:gsz] = src
+        srcw = jnp.asarray(pad.view("<u4").view(np.int32)
+                           .reshape(1, t4 * 8, 128))
+        fcb, mgb = jnp.asarray(fc[None]), jnp.asarray(mg[None])
+        s1, f1, c1, st1 = rans_encode2(fcb, mgb, srcw, t4, hcap, True,
+                                       False, tlog, True, force)
+        s2, f2, c2, st2 = rans_encode2(fcb, mgb, srcw, t4, hcap, True,
+                                       False, tlog, True, force, True)
+        cs = int(c1[0])
+        assert int(c2[0]) == cs, (proba, tlog, force)
+        nw = (cs + 1) // 2
+        assert np.array_equal(np.asarray(s2)[0].reshape(-1)[:nw],
+                              np.asarray(s1)[0].reshape(-1)[:nw]), \
+            (proba, tlog, force)
+        assert np.array_equal(np.asarray(f2), np.asarray(f1))
+        assert np.array_equal(np.asarray(st2), np.asarray(st1))
+
+    with pytest.raises(ValueError, match="byte symbols"):
+        rans_encode2(fcb, mgb, srcw, t4, hcap, True, True, 11, True, 0, True)
