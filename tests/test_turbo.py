@@ -498,3 +498,61 @@ def test_rans_encode2_rowloc_matches_flat_interpret():
 
     with pytest.raises(ValueError, match="byte symbols"):
         rans_encode2(fcb, mgb, srcw, t4, hcap, True, True, 11, True, 0, True)
+
+
+def _wdec_inputs(nbytes, proba, G):
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
+    from finitestateentropy_tpu.turbo.rans import parse_rans_group, rans_compress
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans_dtable, pack_stream_words, stream_word_rows)
+
+    data = generate_proba(proba)[:nbytes]
+    blob = rans_compress(bytes(data), steptots=True)
+    (n, cs, tlog, flags, norm, max_sv, init, payload, stots), _ = \
+        parse_rans_group(blob)
+    n_pad = _pad_n(n)
+    t4 = n_pad // TURBO_STEP_SYMS
+    hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+    srows = stream_word_rows(hrows)
+    T = n_pad // 1024
+    args = [jnp.asarray(a) for a in (
+        np.full(G, cs, np.int32),
+        np.broadcast_to(pack_rans_dtable(norm, tlog), (G, (1 << tlog) // 128, 128)).copy(),
+        np.broadcast_to(init.view(np.int32).reshape(8, 128), (G, 8, 128)).copy(),
+        np.broadcast_to(pack_stream_words(payload, srows), (G, srows, 128)).copy(),
+        np.broadcast_to(stots.astype(np.int32), (G, T, 8)).copy())]
+    return args, t4, hrows, tlog, data, n
+
+
+def test_rans_decode_w_matches_v2_interpret():
+    """HBM-windowed decode (double-buffered stream windows, 2 chunks, odd
+    batch padded to nway, small stream padded to one window) decodes the
+    same bytes as resident v2 with err == 0."""
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        rans_decode_v2, rans_decode_w)
+
+    args, t4, hrows, tlog, data, n = _wdec_inputs(256 << 10, 80, 1)
+    assert t4 == 64  # 2 chunks at S=32
+    o1, e1 = rans_decode_v2(*args, t4, hrows, True, tlog)
+    o2, e2 = rans_decode_w(*args, t4, hrows, 2, tlog, 32, True)
+    assert not np.asarray(e1).any() and not np.asarray(e2).any()
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.asarray(o2)[0].astype("<i4").tobytes()[:n] == data
+
+
+def test_rans_decode_w_corruption_flagged_interpret():
+    """A flipped mid-stream halfword must set the windowed decoder's
+    per-group error flag (final-state check), never crash or overread."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans_kernels import rans_decode_w
+
+    args, t4, hrows, tlog, data, n = _wdec_inputs(128 << 10, 80, 1)
+    hws = np.asarray(args[3]).copy()
+    hws[0, hws.shape[1] // 4, 64] ^= 0x29A
+    args[3] = jnp.asarray(hws)
+    out, err = rans_decode_w(*args, t4, hrows, 1, tlog, 32, True)
+    assert np.asarray(err)[0] != 0
