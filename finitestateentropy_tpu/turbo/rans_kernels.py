@@ -1198,12 +1198,13 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
 
 def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                           cur_ref, out_ref, res_ref, xs_ref, win_ref, sem,
-                          *, S, n_chunks, W, srows, nway, tlog):
+                          *, S, n_chunks, W, srows, nway, tlog,
+                          u16=False, u16x=False):
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
     tchunks = max(tsize // 128, 1)
-    spc = 4
+    spc = 2 if u16 else 4
     g = pl.program_id(0)
     c = pl.program_id(1)
     r_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -1212,7 +1213,7 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
     rhs = jnp.concatenate(
         [tria128, jnp.full((128, 128), 16, jnp.bfloat16),
          jnp.ones((128, 128), jnp.bfloat16)], axis=0)
-    tiles_per_chunk = S // 32          # 8-row roff tiles per chunk
+    tiles_per_chunk = S * spc // 128   # 8-row roff tiles per chunk
 
     def dma(gg, slot, cc):
         start = ws_ref[g * nway + gg, cc]
@@ -1246,14 +1247,8 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         slot_v = x & (tsize - 1)
         thi = _srl(slot_v, 7)
         tlo = slot_v & 127
-        e = jnp.zeros(shape, jnp.int32)
-        for h in range(tchunks):
-            trow = jnp.broadcast_to(table_ref[gg, h: h + 1, :], shape)
-            e = jnp.where(thi == h, jnp.take_along_axis(trow, tlo, axis=1), e)
-        sym = e & 0xFF
-        f = _srl(e, 8) & 0xFFF
-        cum = _srl(e, 20)
-        x = f * _srl(x, tlog) + slot_v - cum
+        sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
+                              shape, thi, tlo, slot_v, x, tlog, u16, u16x)
         flag = _srl(x, 16) == 0
         # roff tile local to this chunk's block
         ltile = _srl(t, 7) - c * tiles_per_chunk
@@ -1293,7 +1288,10 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                 syms[gg].append(sg)
         for gg in range(nway):
             sa = syms[gg]
-            tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
+            if u16:  # 2 u16 symbols per output word
+                tile = sa[0] | _sll(sa[1], 16)
+            else:    # 4 bytes per output word
+                tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
             out_ref[gg, pl.ds(i * 8, 8), :] = tile
         return tuple(xs)
 
@@ -1304,25 +1302,28 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         res_ref[gg] = xs[gg] ^ RANS_L     # last chunk's write is kept
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
                   t4_count: int, hrows: int, nway: int,
                   tlog: int = RANS_TABLELOG, S: int = 32,
-                  interpret: bool = False):
+                  interpret: bool = False, u16: bool = False,
+                  u16x: bool = False):
     """HBM-windowed decode: same wire/inputs as rans_decode_v2 (rows
-    steptots, byte symbols) but the packed stream stays in HBM and only
-    a W = 16*S+16-row window per group is VMEM-resident, double-buffered
+    steptots) but the packed stream stays in HBM and only a
+    W = 4*spc*S+16-row window per group is VMEM-resident, double-buffered
     ahead of the monotone cursor.  nway is therefore independent of group
-    size / stream size.  t4_count must be a multiple of S (S % 32 == 0).
+    size / stream size.  t4_count must be a multiple of S, and S a
+    multiple of 128//spc (32 bytes / 64 u16).
 
     Returns (out[G, t4_count*8, 128] i32, err[G])."""
     G0 = tables.shape[0]
     T = steptots.shape[1]
     tch = tables.shape[1]
+    spc = 2 if u16 else 4
     assert steptots.ndim == 3, "windowed decode needs the rows wire"
-    assert t4_count % S == 0 and S % 32 == 0, (t4_count, S)
+    assert t4_count % S == 0 and S % (128 // spc) == 0, (t4_count, S)
     n_chunks = t4_count // S
-    W = 16 * S + 16
+    W = 4 * spc * S + 16
     srows = stream_word_rows(hrows)
     assert streams.shape[1] == srows, (streams.shape, srows)
     if srows < W:
@@ -1345,7 +1346,7 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
     bad = cur_after[:, -1] != 0
 
     # per-chunk window start rows (word rows), from the chunk-END cursor
-    te = (jnp.arange(n_chunks) + 1) * 4 * S - 1
+    te = (jnp.arange(n_chunks) + 1) * spc * S - 1
     cur_end = cur_after[:, te]                                    # [G,nc]
     ws = jnp.clip(_srl(jnp.maximum(cur_end - 1024, 0), 8),
                   0, srows - W).astype(jnp.int32)
@@ -1356,15 +1357,16 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
     roff = (ro.reshape(G, tpad // 128, 128, 8)
             .transpose(0, 1, 3, 2)
             .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
-    # pad roff rows to n_chunks * (S//4) so chunk-blocking divides evenly
-    r8c = S // 4
+    # pad roff rows to n_chunks * (spc*S//16) so chunk-blocking divides
+    r8c = spc * S // 16
     roff = jnp.pad(roff, ((0, 0), (0, n_chunks * r8c - roff.shape[1]), (0, 0)))
 
-    curs = jnp.zeros((G, t4_count, 128), jnp.int32).at[:, :, :4].set(
-        cursors.reshape(G, t4_count, 4).astype(jnp.int32))
+    curs = jnp.zeros((G, t4_count, 128), jnp.int32).at[:, :, :spc].set(
+        cursors.reshape(G, t4_count, spc).astype(jnp.int32))
 
     kern = functools.partial(_rans_decode_w_kernel, S=S, n_chunks=n_chunks,
-                             W=W, srows=srows, nway=nway, tlog=tlog)
+                             W=W, srows=srows, nway=nway, tlog=tlog,
+                             u16=u16, u16x=u16x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G // nway, n_chunks),

@@ -556,3 +556,38 @@ def test_rans_decode_w_corruption_flagged_interpret():
     args[3] = jnp.asarray(hws)
     out, err = rans_decode_w(*args, t4, hrows, 1, tlog, 32, True)
     assert np.asarray(err)[0] != 0
+
+
+def test_rans_decode_w_u16_interpret():
+    """Windowed decode, u16 wire: parity with rans_decode_v2(u16=True)."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans16 import (_pad_n16,
+                                                     parse_rans16_group,
+                                                     rans16_compress)
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans16_dtable, pack_stream_words, rans_decode_v2, rans_decode_w,
+        stream_word_rows)
+
+    rng = np.random.default_rng(5)
+    n = 131072  # t2 = 64 supercycles -> 2 chunks at S = 64
+    d = np.clip((rng.pareto(1.2, n) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16)
+    blob = rans16_compress(d)
+    (n0, cs, tlog, flags, norm, max_sv, init, payload, stots), _ = \
+        parse_rans16_group(blob)
+    n_pad = _pad_n16(n0)
+    t2 = n_pad // 2048
+    assert t2 == 64
+    hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+    hws = pack_stream_words(payload, stream_word_rows(hrows))[None]
+    args = (jnp.asarray(np.array([cs], np.int32)),
+            jnp.asarray(pack_rans16_dtable(norm)[None]),
+            jnp.asarray(init.view(np.int32).reshape(1, 8, 128)),
+            jnp.asarray(hws), jnp.asarray(stots.astype(np.int32)[None]))
+    o1, e1 = rans_decode_v2(*args, t2, hrows, True, tlog, True)
+    o2, e2 = rans_decode_w(*args, t2, hrows, 2, tlog, 64, True, True)
+    assert int(np.asarray(e1)[0]) == 0 and not np.asarray(e2).any()
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    got = np.asarray(o2)[0].astype("<i4").reshape(-1).view(np.uint16)[:n0]
+    assert np.array_equal(got, d)

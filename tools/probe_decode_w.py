@@ -130,6 +130,10 @@ VARIANTS = {
     "w7s32p02": (7, 32, 1, 2),
     "w8s32p02": (8, 32, 1, 2),
     "w10s32p02": (10, 32, 1, 2),
+    "w12s32": (12, 32, 1, 80),
+    "w14s32": (14, 32, 1, 80),
+    "w10s64g4": (10, 64, 4, 80),
+    "w12s32p02": (12, 32, 1, 2),
 }
 
 if __name__ == "__main__":
