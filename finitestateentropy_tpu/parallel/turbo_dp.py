@@ -20,8 +20,8 @@ try:  # jax >= 0.7 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-from ..turbo.rans_kernels import (rans_decode, rans_decode_v2, rans_encode,
-                                  rans_encode2)
+from ..turbo.rans_kernels import (rans_decode, rans_decode_v2, rans_decode_w,
+                                  rans_encode, rans_encode2)
 
 
 def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
@@ -97,6 +97,28 @@ def sharded_turbo_decode_v2(mesh: Mesh, t4_count: int, hrows: int,
     def local(cs, tbl, init, hws, stots):
         out, err = rans_decode_v2(cs, tbl, init, hws, stots, t4_count, hrows,
                                   interpret, tlog)
+        any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
+        return out, err, any_err
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P("dp"), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_decode_w(mesh: Mesh, t4_count: int, hrows: int, nway: int,
+                           tlog: int = 11, S: int = 32,
+                           interpret: bool = False, u16: bool = False,
+                           u16x: bool = False):
+    """HBM-windowed decode (rans_decode_w) sharded over dp — same contract
+    as sharded_turbo_decode_v2 but the packed streams stay in (per-shard)
+    HBM with double-buffered VMEM windows, so big groups / near-raw
+    streams keep their interleave width on every chip."""
+
+    def local(cs, tbl, init, hws, stots):
+        out, err = rans_decode_w(cs, tbl, init, hws, stots, t4_count, hrows,
+                                 nway, tlog, S, interpret, u16, u16x)
         any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
         return out, err, any_err
 

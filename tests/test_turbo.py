@@ -591,3 +591,21 @@ def test_rans_decode_w_u16_interpret():
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
     got = np.asarray(o2)[0].astype("<i4").reshape(-1).view(np.uint16)[:n0]
     assert np.array_equal(got, d)
+
+
+def test_sharded_decode_w_matches_v2_interpret():
+    """rans_decode_w under shard_map (2-device mesh, one group per shard)
+    matches the single-device v2 output."""
+    import jax
+    from jax.sharding import Mesh
+
+    from finitestateentropy_tpu.parallel.turbo_dp import sharded_turbo_decode_w
+    from finitestateentropy_tpu.turbo.rans_kernels import rans_decode_v2
+
+    args, t4, hrows, tlog, data, n = _wdec_inputs(128 << 10, 80, 2)
+    o1, e1 = rans_decode_v2(*args, t4, hrows, True, tlog)
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("dp",))
+    step = sharded_turbo_decode_w(mesh, t4, hrows, 1, tlog, 32, True)
+    o2, e2, any_err = step(*args)
+    assert not np.asarray(e1).any() and int(np.asarray(any_err)) == 0
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
