@@ -266,15 +266,20 @@ def bench_mixed(g_small: int, g_big: int):
     from finitestateentropy_tpu.utils import generate_proba
 
     rng = np.random.default_rng(1)
-    section = 1 << 18
+    # section == group size so each group is a pure kind and the per-group
+    # RLE/raw fallbacks actually trigger (256 KiB sections inside 1 MiB
+    # groups made every group a 4-kind blend that always coded)
+    section = 1 << 20
     parts = []
     base80, base14 = generate_proba(80), generate_proba(14)
-    for i in range(64):
+    for i in range(16):
         k = i % 4
         if k == 0:
-            parts.append(base80[(i * 7919) % 500000 :][:section])
+            base = base80[(i * 7919) % 4096 :]
+            parts.append((base * 3)[:section])
         elif k == 1:
-            parts.append(base14[(i * 104729) % 500000 :][:section])
+            base = base14[(i * 104729) % 4096 :]
+            parts.append((base * 3)[:section])
         elif k == 2:
             parts.append(bytes(rng.integers(0, 256, section, dtype=np.uint8)))
         else:
