@@ -103,8 +103,12 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
                          lambda x: np.asarray(x))
     enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
     payload, fin, cs, stots0 = enc_out[g_big]
-    # default wire: 8 B/step row counts + 4 KiB init states + header/ncount
-    ratio = group_bytes / (cs * 2 + 4096 + t4 * 32 + 64)
+    # default wire: rows section (nibble-packed FLAG_ROWS4 when smaller)
+    # + 4 KiB init states + header/ncount
+    from finitestateentropy_tpu.turbo.rans import _pack_rows4
+    packed = _pack_rows4(np.asarray(stots0).astype(np.uint8))
+    sect_len = len(packed) if packed is not None else t4 * 32
+    ratio = group_bytes / (cs * 2 + 4096 + sect_len + 64)
     log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
         f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
 
@@ -170,7 +174,10 @@ def bench_group_sweep():
              jnp.asarray(np.broadcast_to(p["srcw"], (g_big, t4 * 8, 128)).copy()))
         stream, fin, csize, stots = rans_encode2(*a, t4, hcap)
         cs = int(np.asarray(csize)[0])
-        rows_bytes = cs * 2 + 4096 + t4 * 32 + 64
+        from finitestateentropy_tpu.turbo.rans import _pack_rows4
+        packed = _pack_rows4(np.asarray(stots)[0].astype(np.uint8))
+        rows_bytes = cs * 2 + 4096 + \
+            (len(packed) if packed is not None else t4 * 32) + 64
         totals_bytes = cs * 2 + 4096 + t4 * 8 + 64
         ratio_bytes = cs * 2 + 4096 + 64
         hrows = p["round8"]((cs + 127) // 128 + 16)

@@ -131,9 +131,16 @@ def _walk_groups(blob: bytes) -> int:
             pos += 20
         else:
             n_pad = (n + 4095) // 4096 * 4096
-            sect = ((n_pad // 1024) * 8 if flags & 4
-                    else (n_pad // 1024) * 2 if flags & 8 else 0)
-            pos += 16 + (nc_len + 3) // 4 * 4 + 4096 + sect + 2 * csize_hw
+            hdr2 = 16 + (nc_len + 3) // 4 * 4 + 4096
+            if flags & 4 and flags & 16:   # FLAG_ROWS4: variable section
+                if pos + hdr2 + 4 > len(blob):
+                    raise ValueError("truncated turbo-rans stream")
+                (n_exc,) = struct.unpack_from("<I", blob, pos + hdr2)
+                sect = 4 + 4 * n_exc + (n_pad // 1024) * 4
+            else:
+                sect = ((n_pad // 1024) * 8 if flags & 4
+                        else (n_pad // 1024) * 2 if flags & 8 else 0)
+            pos += hdr2 + sect + 2 * csize_hw
         total += n
     return total
 

@@ -17,7 +17,8 @@ from ..utils.debug import debuglog
 from ..refimpl.ncount import fse_write_ncount
 from ..refimpl.norm import fse_normalize_count, fse_optimal_table_log
 from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
-from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, FLAG_TOTALS,
+from .rans import (FLAG_RAW, FLAG_RLE, FLAG_ROWS4, FLAG_STEPTOTS,
+                   FLAG_TOTALS, _pack_rows4,
                    RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
 from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
                            rans_decode_v2, rans_encode, rans_encode2,
@@ -214,8 +215,12 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                         .astype("<u2").tobytes())
                 fl = FLAG_TOTALS
             elif steptots:
-                sect = stots_np[j].reshape(-1).tobytes()
-                fl = FLAG_STEPTOTS
+                packed = _pack_rows4(stots_np[j])
+                if packed is not None:
+                    sect, fl = packed, FLAG_STEPTOTS | FLAG_ROWS4
+                else:
+                    sect = stots_np[j].reshape(-1).tobytes()
+                    fl = FLAG_STEPTOTS
             else:
                 sect, fl = b"", 0
             blob = (

@@ -37,7 +37,8 @@ import numpy as np
 
 from ..refimpl.ncount import fse_write_ncount
 from .format import TURBO_STEP_SYMS, _pad_n
-from .rans import (FLAG_RAW, FLAG_RLE, FLAG_STEPTOTS, FLAG_TOTALS,
+from .rans import (FLAG_RAW, FLAG_RLE, FLAG_ROWS4, FLAG_STEPTOTS,
+                   FLAG_TOTALS, _pack_rows4,
                    RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
 from .rans_kernels import (pack_rans_dtable, pack_stream_words,
                            rans_decode_v2, rans_encode2, stream_word_rows)
@@ -197,8 +198,12 @@ def rans_compress_resident(x, group_size: int = DEFAULT_GROUP,
                         .astype("<u2").tobytes())
                 fl = FLAG_TOTALS
             elif steptots:
-                sect = stots_np[j].reshape(-1).tobytes()
-                fl = FLAG_STEPTOTS
+                packed = _pack_rows4(stots_np[j])
+                if packed is not None:
+                    sect, fl = packed, FLAG_STEPTOTS | FLAG_ROWS4
+                else:
+                    sect = stots_np[j].reshape(-1).tobytes()
+                    fl = FLAG_STEPTOTS
             else:
                 sect, fl = b"", 0
             blob = (_HDR.pack(RANS_MAGIC, ln, cs, table_log, fl, len(ncount))

@@ -55,8 +55,61 @@ FLAG_STEPTOTS = 4   # v2: per-step per-ROW renorm counts (8 u8/step)
 FLAG_TOTALS = 8     # v3: per-step renorm TOTALS only (1 u16/step) — the
                     # decoder recomputes row offsets with one extra matmul;
                     # 4x smaller section, same cursor precomputation
+FLAG_ROWS4 = 16     # r3 modifier on FLAG_STEPTOTS: counts nibble-packed
+                    # (2 steps/byte) + an escape table for counts >= 15 —
+                    # the section halves with NO decode-speed cost (the
+                    # kernels consume unpacked [T,8] arrays either way).
+                    # Picked automatically whenever it is smaller.
 
 _HDR = struct.Struct("<IIIBBH")
+
+
+def _pack_rows4(tots: np.ndarray) -> bytes | None:
+    """[T,8] u8 row counts -> FLAG_ROWS4 section bytes, or None when the
+    escape table would make it no smaller than the plain 8 B/step wire.
+
+    Layout: u32 n_exc | n_exc x (u16 step, u8 row, u8 count) | T*4 nibble
+    bytes (step pair 2t|2t+1 -> low|high nibble, 8 rows each).  Nibble 15
+    is an escape marker: the true count lives in the exception table."""
+    T = tots.shape[0]
+    exc = np.argwhere(tots >= 15)
+    if 4 + 4 * len(exc) >= 4 * T:
+        return None
+    nib = np.minimum(tots, 15).astype(np.uint8)
+    packed = (nib[0::2] | (nib[1::2] << 4)).reshape(-1)
+    out = struct.pack("<I", len(exc))
+    if len(exc):
+        e = np.zeros((len(exc), 4), np.uint8)
+        e[:, :2] = exc[:, 0].astype("<u2").view(np.uint8).reshape(-1, 2)
+        e[:, 2] = exc[:, 1]
+        e[:, 3] = tots[exc[:, 0], exc[:, 1]]
+        out += e.tobytes()
+    return out + packed.tobytes()
+
+
+def _unpack_rows4(buf: bytes, T: int) -> tuple[np.ndarray, int]:
+    """FLAG_ROWS4 section -> ([T,8] u8 counts, bytes consumed).
+
+    Corrupt sections (truncated, out-of-range escape coordinates) raise
+    ValueError — garbage input must never index out of bounds (the fuzz
+    suite feeds arbitrary bytes here)."""
+    if len(buf) < 4:
+        raise ValueError("turbo-rans rows4 section truncated")
+    (n_exc,) = struct.unpack_from("<I", buf, 0)
+    pos = 4 + 4 * n_exc
+    if n_exc > T * 8 or len(buf) < pos + T * 4:
+        raise ValueError("turbo-rans rows4 section corrupt")
+    packed = np.frombuffer(buf[pos : pos + T * 4], np.uint8).reshape(T // 2, 8)
+    tots = np.zeros((T, 8), np.uint8)
+    tots[0::2] = packed & 15
+    tots[1::2] = packed >> 4
+    if n_exc:
+        e = np.frombuffer(buf[4:pos], np.uint8).reshape(n_exc, 4)
+        steps = e[:, :2].copy().view("<u2").reshape(-1)
+        if (steps >= T).any() or (e[:, 2] >= 8).any():
+            raise ValueError("turbo-rans rows4 escape out of range")
+        tots[steps, e[:, 2]] = e[:, 3]
+    return tots, pos + T * 4
 
 
 def rans_freqs(norm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -151,9 +204,14 @@ def rans_compress(data: bytes, table_log: int = 0,
         sect = tots.astype(np.uint16).sum(axis=1).astype("<u2").tobytes()
         flags_out = FLAG_TOTALS
     elif steptots:
-        # T*8 is 4B-aligned
-        sect = tots.reshape(-1).tobytes()
-        flags_out = FLAG_STEPTOTS
+        packed = _pack_rows4(tots)
+        if packed is not None:
+            sect = packed
+            flags_out = FLAG_STEPTOTS | FLAG_ROWS4
+        else:
+            # T*8 is 4B-aligned
+            sect = tots.reshape(-1).tobytes()
+            flags_out = FLAG_STEPTOTS
     else:
         sect = b""
         flags_out = 0
@@ -187,8 +245,13 @@ def parse_rans_group(blob: bytes):
     steptots = None
     if flags & FLAG_STEPTOTS:
         T = _pad_n(n) // TURBO_LANES
-        steptots = np.frombuffer(blob[pos : pos + T * 8], np.uint8).reshape(T, 8).copy()
-        pos += T * 8
+        if flags & FLAG_ROWS4:
+            steptots, used = _unpack_rows4(blob[pos:], T)
+            pos += used
+        else:
+            steptots = np.frombuffer(blob[pos : pos + T * 8],
+                                     np.uint8).reshape(T, 8).copy()
+            pos += T * 8
     elif flags & FLAG_TOTALS:
         # v3 section: 1-D totals array (callers distinguish by ndim)
         T = _pad_n(n) // TURBO_LANES

@@ -580,9 +580,9 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
 
 def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
                            sect_ref, scr_ref, xs_ref, cv_ref, tile_ref,
-                           *, chunk_t4, n_chunks, hcap_p,
+                           *, chunk_t4, n_chunks, hcap_p, u16=False,
                            tlog=RANS_TABLELOG, steptots=True):
-    """Row-local placement variant of _rans_encode2_kernel (bytes only).
+    """Row-local placement variant of _rans_encode2_kernel.
 
     Same wire, different placement: the packed-stream placement rule
     (halfword cursor+total-k holds the lane with flat rank k, ranks
@@ -602,8 +602,10 @@ def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
     tria = _make_tria()
     thresh_shift = 32 - tlog
     lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    tiles_span = 32
+    spc = 2 if u16 else 4
+    tiles_span = 128 // spc
     c = pl.program_id(1)
+    n_sym_chunks = fc_ref.shape[1]
 
     @pl.when(c == 0)
     def _init():
@@ -628,19 +630,26 @@ def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
     wrow16 = _srl(sub16, 3)    # window word-row (0 or 1)
 
     def step(x, cursor, tile, t, word, p):
-        sym = _srl(word, 8 * p) & 0xFF
+        if u16:
+            sym = _srl(word, 16 * p) & 0xFFFF
+        else:
+            sym = _srl(word, 8 * p) & 0xFF
         shi = _srl(sym, 7)
         slo = sym & 127
         e = jnp.zeros(shape, jnp.int32)
         m = jnp.zeros(shape, jnp.int32)
-        for h in range(2):
+        for h in range(n_sym_chunks):
             frow = jnp.broadcast_to(fc_ref[0, h : h + 1, :], shape)
             mrow = jnp.broadcast_to(magic_ref[0, h : h + 1, :], shape)
             hit = shi == h
             e = jnp.where(hit, jnp.take_along_axis(frow, slo, axis=1), e)
             m = jnp.where(hit, jnp.take_along_axis(mrow, slo, axis=1), m)
-        f = e & 0xFFF
-        cu = _srl(e, 12) & 0xFFF
+        if n_sym_chunks == 32:     # wide u16 tables: 14-bit fields
+            f = e & 0x3FFF
+            cu = _srl(e, 14)
+        else:
+            f = e & 0xFFF
+            cu = _srl(e, 12) & 0xFFF
 
         flag = _uge(x, _sll(f, thresh_shift))
         emit = x & 0xFFFF
@@ -720,10 +729,14 @@ def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
         tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
                          jnp.zeros(shape, jnp.int32), tile)
         word = src_ref[pl.ds(lt4 * 8, 8), :]
-        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 3, word, 3)
-        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
-        x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
-        x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
+        if u16:
+            x, cursor, tile = step(x, cursor, tile, 2 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 2 * t4, word, 0)
+        else:
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 3, word, 3)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 2, word, 2)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4 + 1, word, 1)
+            x, cursor, tile = step(x, cursor, tile, 4 * t4, word, 0)
         if steptots:
             sect_ref[pl.ds((t4 // tiles_span) * 8, 8), :] = tile
         return x, cursor, tile
@@ -779,10 +792,8 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     sect_rows = ((t4_count + tiles_span - 1) // tiles_span) * 8
 
     if rowloc:
-        if u16:
-            raise ValueError("rowloc placement supports byte symbols only")
         kern = functools.partial(_rans_encode_rl_kernel, chunk_t4=chunk_t4,
-                                 n_chunks=n_chunks, hcap_p=hcap_p,
+                                 n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
                                  tlog=tlog, steptots=steptots)
     else:
         kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,

@@ -38,6 +38,8 @@ constexpr int kFlagRaw = 1;
 constexpr int kFlagRle = 2;
 constexpr int kFlagStepTots = 4;  // v2: shipped per-step per-row counts
 constexpr int kFlagTotals = 8;    // v3: shipped per-step totals (1 u16)
+constexpr int kFlagRows4 = 16;    // r3: nibble-packed rows + escape table
+                                  // (u32 n_exc | 4B/exc | steps*4 nibbles)
 
 inline int highbit32(uint32_t v) {
   return 31 - __builtin_clz(v);
@@ -47,6 +49,12 @@ inline int highbit32(uint32_t v) {
 // offset, so payload halfwords may be misaligned; memcpy-based loads keep
 // this well-defined on strict-alignment targets (compiles to a plain load
 // where unaligned access is legal).
+inline uint32_t load_le32(const uint8_t* p) {
+  uint32_t v;
+  std::memcpy(&v, p, 4);
+  return v;  // little-endian hosts only (build.sh targets x86-64)
+}
+
 inline uint16_t load_le16(const uint8_t* p) {
   uint16_t v;
   std::memcpy(&v, p, 2);
@@ -794,7 +802,13 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
     // recomputed); skip them
     uint64_t n_pad2 = (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
     uint64_t steps = n_pad2 / kLanes;
-    uint64_t sect = (h.flags & kFlagStepTots) ? steps * 8 : steps * 2;
+    uint64_t sect;
+    if ((h.flags & kFlagStepTots) && (h.flags & kFlagRows4)) {
+      if (pos + 4 > len) return -3;
+      sect = 4 + 4ull * load_le32(blob + pos) + steps * 4;
+    } else {
+      sect = (h.flags & kFlagStepTots) ? steps * 8 : steps * 2;
+    }
     if (pos + sect > len) return -3;
     pos += sect;
   }
@@ -915,11 +929,18 @@ int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
     } else {
       uint64_t n_pad =
           (uint64_t(h.n_sym) + kStepSyms - 1) / kStepSyms * kStepSyms;
-      uint64_t sect = (h.flags & kFlagStepTots) ? (n_pad / kLanes) * 8
-                      : (h.flags & kFlagTotals) ? (n_pad / kLanes) * 2
-                                                : 0;
-      gl = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes + sect +
-           2 * uint64_t(h.csize_hw);
+      uint64_t steps = n_pad / kLanes;
+      uint64_t hdr2 = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes;
+      uint64_t sect;
+      if ((h.flags & kFlagStepTots) && (h.flags & kFlagRows4)) {
+        if (pos + hdr2 + 4 > len) return -3;
+        sect = 4 + 4ull * load_le32(blob + pos + hdr2) + steps * 4;
+      } else {
+        sect = (h.flags & kFlagStepTots) ? steps * 8
+               : (h.flags & kFlagTotals) ? steps * 2
+                                         : 0;
+      }
+      gl = hdr2 + sect + 2 * uint64_t(h.csize_hw);
     }
     if (pos + gl > len) return -3;
     spans.push_back({pos, gl, out, h.n_sym});

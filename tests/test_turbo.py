@@ -496,8 +496,35 @@ def test_rans_encode2_rowloc_matches_flat_interpret():
         assert np.array_equal(np.asarray(f2), np.asarray(f1))
         assert np.array_equal(np.asarray(st2), np.asarray(st1))
 
-    with pytest.raises(ValueError, match="byte symbols"):
-        rans_encode2(fcb, mgb, srcw, t4, hcap, True, True, 11, True, 0, True)
+    # u16 symbols: same row-local placement, 2 steps per supercycle
+    from finitestateentropy_tpu.turbo.rans16 import _pad_n16
+    from finitestateentropy_tpu.turbo.rans_kernels import pack_rans16_ctables
+    from finitestateentropy_tpu.refimpl.norm import fse_normalize_count
+    from finitestateentropy_tpu.refimpl.fseu16 import count_u16
+
+    rng = np.random.default_rng(11)
+    d = np.clip((rng.pareto(1.2, 16384) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16)
+    count, max_sv, _mc = count_u16(d, 1023)
+    norm, tlog16 = fse_normalize_count(11, count[: max_sv + 1], len(d), max_sv)
+    fc16, mg16 = pack_rans16_ctables(norm)
+    n_pad = _pad_n16(len(d))
+    t2 = n_pad // 2048
+    pad = np.full(n_pad, int(np.bincount(d).argmax()), np.uint16)
+    pad[: len(d)] = d
+    srcw16 = jnp.asarray(pad.view("<u4").view(np.int32).reshape(1, t2 * 8, 128))
+    hcap16 = ((n_pad // 128 + 16) + 7) // 8 * 8
+    a16 = (jnp.asarray(fc16[None]), jnp.asarray(mg16[None]), srcw16)
+    s1, f1, c1, st1 = rans_encode2(*a16, t2, hcap16, True, True, tlog16, True)
+    s2, f2, c2, st2 = rans_encode2(*a16, t2, hcap16, True, True, tlog16, True,
+                                   0, True)
+    cs = int(c1[0])
+    assert int(c2[0]) == cs
+    nw = (cs + 1) // 2
+    assert np.array_equal(np.asarray(s2)[0].reshape(-1)[:nw],
+                          np.asarray(s1)[0].reshape(-1)[:nw])
+    assert np.array_equal(np.asarray(f2), np.asarray(f1))
+    assert np.array_equal(np.asarray(st2), np.asarray(st1))
 
 
 def _wdec_inputs(nbytes, proba, G):
@@ -609,3 +636,51 @@ def test_sharded_decode_w_matches_v2_interpret():
     o2, e2, any_err = step(*args)
     assert not np.asarray(e1).any() and int(np.asarray(any_err)) == 0
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_rows4_section_pack_roundtrip():
+    """FLAG_ROWS4 nibble+escape section: exact pack/unpack including the
+    escape marker edge (count == 15 must escape, 14 must not), and the
+    size-based fallback when escapes would not pay."""
+    from finitestateentropy_tpu.turbo.rans import _pack_rows4, _unpack_rows4
+
+    rng = np.random.default_rng(3)
+    tots = rng.integers(0, 14, (64, 8)).astype(np.uint8)
+    tots[5, 3] = 15   # escape-marker edge
+    tots[6, 0] = 14   # largest in-band value
+    tots[63, 7] = 200
+    buf = _pack_rows4(tots)
+    assert buf is not None
+    back, used = _unpack_rows4(buf, 64)
+    assert used == len(buf)
+    assert np.array_equal(back, tots)
+    assert len(buf) < 64 * 8
+
+    # every count >= 15: escapes outgrow the plain wire -> fallback
+    assert _pack_rows4(np.full((64, 8), 30, np.uint8)) is None
+
+
+def test_rows4_wire_roundtrip_and_device_parity():
+    """Skewed data emits FLAG_ROWS4 (twin + device paths byte-identical),
+    near-flat data falls back to plain FLAG_STEPTOTS; both decode
+    everywhere (twin + device kernels)."""
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+    from finitestateentropy_tpu.turbo.rans import (FLAG_ROWS4, FLAG_STEPTOTS,
+                                                   parse_rans_group,
+                                                   rans_compress,
+                                                   rans_decompress)
+
+    skew = generate_proba(80)[:32768]
+    blob = turbo_compress_device(skew, group_size=32768, interpret=True)
+    g, _ = parse_rans_group(blob)
+    assert g[3] & FLAG_ROWS4
+    assert blob == rans_compress(skew, steptots=True)   # twin == device
+    assert rans_decompress(blob) == skew
+    assert turbo_decompress_device(blob, interpret=True) == skew
+
+    flat = generate_proba(14)[:32768]
+    blob2 = turbo_compress_device(flat, group_size=32768, interpret=True)
+    g2, _ = parse_rans_group(blob2)
+    assert g2[3] & FLAG_STEPTOTS and not (g2[3] & FLAG_ROWS4)
+    assert turbo_decompress_device(blob2, interpret=True) == flat
