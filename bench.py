@@ -202,9 +202,38 @@ def bench_group_sweep():
                           lambda x: np.asarray(x))
         dec = (g_big - g_small) * (mb << 20) / (dt[g_big] - dt[g_small]) / 1e9
         log(f"p80 {mb}MiB groups: decode {dec:6.3f} GB/s (totals wire)  "
-            f"ratios rows {(mb << 20) / rows_bytes:.2f} / "
+            f"ratios rows4 {(mb << 20) / rows_bytes:.2f} / "
             f"totals {(mb << 20) / totals_bytes:.2f} / "
             f"none {(mb << 20) / ratio_bytes:.2f}")
+
+        # r3: HBM-windowed decode keeps the interleave width on multi-MiB
+        # groups, so the rows4 wire (ratio above) decodes at full speed
+        try:
+            from finitestateentropy_tpu.turbo.rans_kernels import rans_decode_w
+
+            stots_rows = np.asarray(stots)[0].astype(np.int32)
+            dtw = {}
+            for G in (g_small, g_big):
+                hws = np.broadcast_to(one, (G, srows, 128)).copy()
+                wargs = (jnp.asarray(np.full(G, cs, np.int32)),
+                         jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+                         jnp.asarray(np.broadcast_to(
+                             np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
+                         jnp.asarray(hws),
+                         jnp.asarray(np.broadcast_to(
+                             stots_rows, (G,) + stots_rows.shape).copy()))
+                outw, err = rans_decode_w(*wargs, t4, hrows, 7, 11, 64)
+                if G == g_small:
+                    assert not np.asarray(err).any()
+                dtw[G] = _time(lambda a2=wargs: rans_decode_w(*a2, t4, hrows,
+                                                              7, 11, 64)[1],
+                               lambda x: np.asarray(x))
+            decw = (g_big - g_small) * (mb << 20) / (dtw[g_big] - dtw[g_small]) / 1e9
+            log(f"p80 {mb}MiB groups: decode {decw:6.3f} GB/s (windowed, "
+                f"rows4 wire, 7-way)")
+        except Exception as e:
+            log(f"p80 {mb}MiB windowed decode failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
 
 
 def bench_rans16(n_syms: int, g_small: int, g_big: int):
