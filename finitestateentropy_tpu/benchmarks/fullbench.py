@@ -171,8 +171,9 @@ def _turbo_stages():
     from ..turbo.format import TURBO_STEP_SYMS, _pad_n
     from ..turbo.rans_kernels import (pack_rans_ctables, pack_rans_dtable,
                                       pack_stream_words, rans_decode,
-                                      rans_decode_v2, rans_encode,
-                                      rans_encode2, stream_word_rows)
+                                      rans_decode_v2, rans_decode_w,
+                                      rans_encode, rans_encode2,
+                                      stream_word_rows)
 
     gsz = 1 << 20
     base = generate_proba(P_DEFAULT)
@@ -219,6 +220,13 @@ def _turbo_stages():
         203: ("group prep (hist+norm+ncount)", lambda: _prep_group(src), gsz),
         204: ("turbo_rans_decode (kernel, v2)",
               lambda: np.asarray(rans_decode_v2(*dargs2, t4, hrows)[1]), total),
+        206: ("turbo_rans_decode (kernel, HBM-windowed 7-way S=64)",
+              lambda: np.asarray(rans_decode_w(*dargs2, t4, hrows, 7, 11,
+                                               64)[1]), total),
+        207: ("turbo_rans_encode (kernel, row-local placement)",
+              lambda: np.asarray(rans_encode2(fcb, mgb, srcw, t4, hcap,
+                                              False, False, 11, True, 0,
+                                              True)[2]), total),
     }
 
 

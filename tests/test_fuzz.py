@@ -246,3 +246,23 @@ def test_turbo_garbage_never_overreads():
         except (ValueError, FSEError, AssertionError, IndexError,
                 struct_error):
             pass
+
+
+def test_rows4_section_garbage_never_crashes():
+    """Arbitrary bytes through the FLAG_ROWS4 section parser either
+    round-trip a coherent [T,8] array or raise ValueError — never an
+    IndexError/overread (decoder-robustness contract, SURVEY §4)."""
+    import numpy as np
+
+    from finitestateentropy_tpu.turbo.rans import _unpack_rows4
+
+    rng = np.random.default_rng(42)
+    for _ in range(300):
+        T = int(rng.choice([4, 40, 256]))
+        buf = rng.integers(0, 256, int(rng.integers(0, 4 + T * 6)),
+                           dtype=np.uint8).tobytes()
+        try:
+            tots, used = _unpack_rows4(buf, T)
+            assert tots.shape == (T, 8) and used <= len(buf)
+        except ValueError:
+            pass
