@@ -61,6 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="turbo group size (K/M suffix)")
     p.add_argument("--device", choices=["host", "tpu", "turbo"], default="host")
     p.add_argument("--mesh", type=int, default=0, help="data-parallel device count")
+    p.add_argument("--windows", type=int, default=0,
+                   help="turbo decode: HBM-windowed kernel at N-way "
+                        "interleave (rows wire, >= 256K groups); 0 = "
+                        "resident kernels")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
     p.add_argument("rest", nargs="*",
@@ -265,7 +269,7 @@ def _turbo_main(args, verbosity: int) -> int:
         if not args.test and _refuse_overwrite(dst, args.force):
             return 1
         out = turbo_decompress_device(data, interpret=interpret,
-                                      mesh=args.mesh)
+                                      mesh=args.mesh, windows=args.windows)
         if not args.test:
             _write_output(dst, out)
         if verbosity >= 2:

@@ -240,10 +240,16 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
 
 
 def turbo_decompress_device(blob: bytes, interpret: bool = False,
-                            mesh: int = 0) -> bytes:
+                            mesh: int = 0, windows: int = 0) -> bytes:
     """Decompress a TurboRANS stream with the Pallas decode kernel.
 
-    mesh > 1 shards group batches data-parallel (see turbo_compress_device)."""
+    mesh > 1 shards group batches data-parallel (see turbo_compress_device).
+    windows = N routes rows-wire batches through the HBM-windowed kernel
+    (rans_decode_w) at an N-way interleave — the stream stays in HBM, so
+    the interleave width no longer depends on group/stream size (useful
+    for multi-MiB groups and near-raw streams whose resident nway
+    collapses).  Requires the rows wire and t4 % 64 == 0 (>= 256 KiB
+    groups); ineligible batches fall back to the resident kernels."""
     import jax.numpy as jnp
 
     groups = []
@@ -330,6 +336,13 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                 outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
                                        jnp.asarray(initp), jnp.asarray(hwsp))
             err = np.asarray(err)[:G]
+        elif have_tots and kind == 2 and windows > 1 and t4 % 64 == 0:
+            from .rans_kernels import rans_decode_w
+
+            outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
+                                      jnp.asarray(init), jnp.asarray(hws),
+                                      jnp.asarray(tots), t4, hrows,
+                                      windows, tlog, 64, interpret)
         elif have_tots:
             outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
                                        jnp.asarray(init), jnp.asarray(hws),

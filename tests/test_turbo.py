@@ -684,3 +684,18 @@ def test_rows4_wire_roundtrip_and_device_parity():
     g2, _ = parse_rans_group(blob2)
     assert g2[3] & FLAG_STEPTOTS and not (g2[3] & FLAG_ROWS4)
     assert turbo_decompress_device(blob2, interpret=True) == flat
+
+
+def test_decompress_device_windows_dispatch_interpret():
+    """turbo_decompress_device(windows=N) routes eligible rows-wire
+    batches through the HBM-windowed kernel and still yields the exact
+    bytes; small groups (t4 % 64 != 0) fall back to resident kernels."""
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+
+    data = generate_proba(80)[: 256 << 10]
+    blob = turbo_compress_device(data, group_size=256 << 10, interpret=True)
+    assert turbo_decompress_device(blob, interpret=True, windows=2) == data
+
+    small = turbo_compress_device(data[:8192], group_size=8192, interpret=True)
+    assert turbo_decompress_device(small, interpret=True, windows=2) == data[:8192]
