@@ -134,6 +134,8 @@ VARIANTS = {
     "w14s32": (14, 32, 1, 80),
     "w10s64g4": (10, 64, 4, 80),
     "w12s32p02": (12, 32, 1, 2),
+    "base1p14": (1, 0, 1, 14),
+    "w10s32p14": (10, 32, 1, 14),
 }
 
 if __name__ == "__main__":
