@@ -336,7 +336,7 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                 outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
                                        jnp.asarray(initp), jnp.asarray(hwsp))
             err = np.asarray(err)[:G]
-        elif have_tots and kind == 2 and windows > 1 and t4 % 64 == 0:
+        elif have_tots and windows > 1 and t4 % 64 == 0:
             from .rans_kernels import rans_decode_w
 
             outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),

@@ -1210,7 +1210,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
 def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                           cur_ref, out_ref, res_ref, xs_ref, win_ref, sem,
                           *, S, n_chunks, W, srows, nway, tlog,
-                          u16=False, u16x=False):
+                          u16=False, u16x=False, totals=False):
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
@@ -1224,6 +1224,8 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
     rhs = jnp.concatenate(
         [tria128, jnp.full((128, 128), 16, jnp.bfloat16),
          jnp.ones((128, 128), jnp.bfloat16)], axis=0)
+    tril8 = _make_tril8()
+    tria129 = _make_tria()
     tiles_per_chunk = S * spc // 128   # 8-row roff tiles per chunk
 
     def dma(gg, slot, cc):
@@ -1261,17 +1263,29 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
                               shape, thi, tlo, slot_v, x, tlog, u16, u16x)
         flag = _srl(x, 16) == 0
-        # roff tile local to this chunk's block
-        ltile = _srl(t, 7) - c * tiles_per_chunk
-        rtile = roff_ref[gg, pl.ds(ltile * 8, 8), :]
-        hit = lanes == (t & 127)
-        m_hi = jnp.where(hit, _srl(rtile, 4), 0).astype(jnp.bfloat16)
-        m_lo = jnp.where(hit, rtile & 15, 0).astype(jnp.bfloat16)
-        lhs = jnp.concatenate(
-            [flag.astype(jnp.int32).astype(jnp.bfloat16), m_hi, m_lo], axis=1)
-        rank = jax.lax.dot_general(
-            lhs, rhs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
+        if totals:
+            # totals wire: recompute row offsets in-kernel (2 chained
+            # matmuls, as _rans_decode_v2t_kernel)
+            aug = jax.lax.dot_general(
+                flag.astype(jnp.int32).astype(jnp.bfloat16), tria129,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            rowpre = jax.lax.dot_general(
+                tril8, aug[:, 128:129].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            rank = (aug[:, :128] + rowpre).astype(jnp.int32)
+        else:
+            # rows wire: shipped per-row offsets fold rank into ONE matmul
+            ltile = _srl(t, 7) - c * tiles_per_chunk
+            rtile = roff_ref[gg, pl.ds(ltile * 8, 8), :]
+            hit = lanes == (t & 127)
+            m_hi = jnp.where(hit, _srl(rtile, 4), 0).astype(jnp.bfloat16)
+            m_lo = jnp.where(hit, rtile & 15, 0).astype(jnp.bfloat16)
+            lhs = jnp.concatenate(
+                [flag.astype(jnp.int32).astype(jnp.bfloat16), m_hi, m_lo],
+                axis=1)
+            rank = jax.lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
         cursor = cur_ref[gg, i, pp]
         pos = cursor - rank
         wpos = _srl(pos, 1)
@@ -1320,18 +1334,18 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
                   interpret: bool = False, u16: bool = False,
                   u16x: bool = False):
     """HBM-windowed decode: same wire/inputs as rans_decode_v2 (rows
-    steptots) but the packed stream stays in HBM and only a
-    W = 4*spc*S+16-row window per group is VMEM-resident, double-buffered
-    ahead of the monotone cursor.  nway is therefore independent of group
-    size / stream size.  t4_count must be a multiple of S, and S a
-    multiple of 128//spc (32 bytes / 64 u16).
+    [G,T,8] or totals [G,T] steptots) but the packed stream stays in HBM
+    and only a W = 4*spc*S+16-row window per group is VMEM-resident,
+    double-buffered ahead of the monotone cursor.  nway is therefore
+    independent of group size / stream size.  t4_count must be a multiple
+    of S, and S a multiple of 128//spc (32 bytes / 64 u16).
 
     Returns (out[G, t4_count*8, 128] i32, err[G])."""
     G0 = tables.shape[0]
     T = steptots.shape[1]
     tch = tables.shape[1]
     spc = 2 if u16 else 4
-    assert steptots.ndim == 3, "windowed decode needs the rows wire"
+    totals_only = steptots.ndim == 2
     assert t4_count % S == 0 and S % (128 // spc) == 0, (t4_count, S)
     n_chunks = t4_count // S
     W = 4 * spc * S + 16
@@ -1351,7 +1365,7 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
             dup, (csize_hw, tables, init_states, streams, steptots))
     G = tables.shape[0]
 
-    totals = jnp.sum(steptots, axis=2)                            # [G,T]
+    totals = steptots if totals_only else jnp.sum(steptots, axis=2)  # [G,T]
     cursors = csize_hw[:, None] - (jnp.cumsum(totals, axis=1) - totals)
     cur_after = cursors - totals
     bad = cur_after[:, -1] != 0
@@ -1362,22 +1376,28 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
     ws = jnp.clip(_srl(jnp.maximum(cur_end - 1024, 0), 8),
                   0, srows - W).astype(jnp.int32)
 
-    rowoff = jnp.cumsum(steptots, axis=2) - steptots
-    tpad = ((T + 127) // 128) * 128
-    ro = jnp.pad(rowoff, ((0, 0), (0, tpad - T), (0, 0)))
-    roff = (ro.reshape(G, tpad // 128, 128, 8)
-            .transpose(0, 1, 3, 2)
-            .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
-    # pad roff rows to n_chunks * (spc*S//16) so chunk-blocking divides
     r8c = spc * S // 16
-    roff = jnp.pad(roff, ((0, 0), (0, n_chunks * r8c - roff.shape[1]), (0, 0)))
+    if totals_only:
+        # row offsets are recomputed in-kernel; ship a zero placeholder so
+        # the input pipeline keeps one shape (r8c rows/chunk of VMEM)
+        roff = jnp.zeros((G, n_chunks * r8c, 128), jnp.int32)
+    else:
+        rowoff = jnp.cumsum(steptots, axis=2) - steptots
+        tpad = ((T + 127) // 128) * 128
+        ro = jnp.pad(rowoff, ((0, 0), (0, tpad - T), (0, 0)))
+        roff = (ro.reshape(G, tpad // 128, 128, 8)
+                .transpose(0, 1, 3, 2)
+                .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
+        # pad roff rows to n_chunks * (spc*S//16) so chunk-blocking divides
+        roff = jnp.pad(roff,
+                       ((0, 0), (0, n_chunks * r8c - roff.shape[1]), (0, 0)))
 
     curs = jnp.zeros((G, t4_count, 128), jnp.int32).at[:, :, :spc].set(
         cursors.reshape(G, t4_count, spc).astype(jnp.int32))
 
     kern = functools.partial(_rans_decode_w_kernel, S=S, n_chunks=n_chunks,
                              W=W, srows=srows, nway=nway, tlog=tlog,
-                             u16=u16, u16x=u16x)
+                             u16=u16, u16x=u16x, totals=totals_only)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G // nway, n_chunks),

@@ -699,3 +699,22 @@ def test_decompress_device_windows_dispatch_interpret():
 
     small = turbo_compress_device(data[:8192], group_size=8192, interpret=True)
     assert turbo_decompress_device(small, interpret=True, windows=2) == data[:8192]
+
+
+def test_rans_decode_w_totals_wire_interpret():
+    """Windowed decode on the FLAG_TOTALS wire: row offsets recomputed
+    in-kernel (2-matmul rank) with the stream windowed from HBM; parity
+    with resident v2 and with the rows-wire output."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        rans_decode_v2, rans_decode_w)
+
+    args, t4, hrows, tlog, data, n = _wdec_inputs(256 << 10, 80, 1)
+    totals = jnp.sum(args[4], axis=2).astype(jnp.int32)
+    targs = args[:4] + [totals]
+    o1, e1 = rans_decode_v2(*targs, t4, hrows, True, tlog)
+    o2, e2 = rans_decode_w(*targs, t4, hrows, 2, tlog, 32, True)
+    assert not np.asarray(e1).any() and not np.asarray(e2).any()
+    assert np.array_equal(np.asarray(o1), np.asarray(o2))
+    assert np.asarray(o2)[0].astype("<i4").tobytes()[:n] == data
