@@ -82,7 +82,7 @@ def build_inputs(G, mib=1, proba=80):
     return [jnp.asarray(a) for a in args], t4, hrows, data, n, tlog
 
 
-def run_variant(name, nway, S, mib=1, proba=80, reps=6):
+def run_variant(name, nway, S, mib=1, proba=80, reps=6, totals=False):
     base_groups = max(1, int(32 // mib))
     G_small = ((base_groups + nway - 1) // nway) * nway
     G_big = ((4 * base_groups + nway - 1) // nway) * nway
@@ -90,6 +90,9 @@ def run_variant(name, nway, S, mib=1, proba=80, reps=6):
     args_b = build_inputs(G_big, mib, proba)[0]
 
     def call(args):
+        if totals:
+            import jax.numpy as jnp
+            args = args[:4] + [jnp.sum(args[4], axis=2).astype(jnp.int32)]
         if S == 0:   # shipped v2 baseline
             return rans_decode_v2(*args, t4, hrows, False, tlog)
         return rans_decode_w(*args, t4, hrows, nway, tlog, S)
@@ -136,14 +139,21 @@ VARIANTS = {
     "w12s32p02": (12, 32, 1, 2),
     "base1p14": (1, 0, 1, 14),
     "w10s32p14": (10, 32, 1, 14),
+    # totals-wire variants (5th element): in-kernel 2-matmul rank
+    "wt7s32": (7, 32, 1, 80, True),
+    "wt10s32": (10, 32, 1, 80, True),
+    "wt7s64g4": (7, 64, 4, 80, True),
+    "baset1g4": (1, 0, 4, 80, True),
 }
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["w7s32"]
     print("devices:", jax.devices())
     for nm in names:
-        nway, S, mib, proba = VARIANTS[nm]
+        v = VARIANTS[nm]
+        nway, S, mib, proba = v[:4]
+        totals = len(v) > 4 and v[4]
         try:
-            run_variant(nm, nway, S, mib, proba)
+            run_variant(nm, nway, S, mib, proba, totals=totals)
         except Exception as ex:
             print(f"{nm}: FAILED: {type(ex).__name__}: {str(ex)[:300]}")
