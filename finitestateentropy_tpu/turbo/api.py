@@ -463,7 +463,8 @@ def turbo16_compress_device(symbols: np.ndarray, group_syms: int = 1 << 19,
     return b"".join(results[gi] for gi in range(len(chunks)))
 
 
-def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarray:
+def turbo16_decompress_device(blob: bytes, interpret: bool = False,
+                              windows: int = 0) -> np.ndarray:
     """Decompress a TurboRANS-U16 stream with the Pallas decode kernel."""
     import jax.numpy as jnp
 
@@ -519,7 +520,12 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False) -> np.ndarra
                 tots[j] = stots
         common = (jnp.asarray(cs_b), jnp.asarray(tbl), jnp.asarray(init_b),
                   jnp.asarray(hws))
-        if have_tots:  # v2 speed mode
+        if have_tots and windows > 1 and t2 % 64 == 0:
+            from .rans_kernels import rans_decode_w
+
+            outw, err = rans_decode_w(*common, jnp.asarray(tots), t2, hrows,
+                                      windows, tlog, 64, interpret, True, big)
+        elif have_tots:  # v2 speed mode
             outw, err = rans_decode_v2(*common, jnp.asarray(tots),
                                        t2, hrows, interpret, tlog, True, big)
         else:

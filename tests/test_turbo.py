@@ -718,3 +718,18 @@ def test_rans_decode_w_totals_wire_interpret():
     assert not np.asarray(e1).any() and not np.asarray(e2).any()
     assert np.array_equal(np.asarray(o1), np.asarray(o2))
     assert np.asarray(o2)[0].astype("<i4").tobytes()[:n] == data
+
+
+def test_turbo16_windows_dispatch_interpret():
+    """u16 pipeline with windows=N: eligible batches (t2 % 64 == 0) route
+    through the windowed kernel; output matches the input symbols."""
+    from finitestateentropy_tpu.turbo.api import (turbo16_compress_device,
+                                                  turbo16_decompress_device)
+
+    rng = np.random.default_rng(8)
+    n = 131072  # t2 = 64
+    d = np.clip((rng.pareto(1.2, n) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16)
+    blob = turbo16_compress_device(d, interpret=True)
+    out = turbo16_decompress_device(blob, interpret=True, windows=2)
+    assert np.array_equal(out, d)
