@@ -62,7 +62,7 @@ def _time(fn, sync, iters=3):
 
 
 def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
-               n_slopes: int = 2):
+               n_slopes: int = 2, wdec: int = 0):
     """Returns (decode_slopes list, enc_gbps, ratio).
 
     VERDICT r2 #4: a single slope can catch a lucky (or inverted) pair of
@@ -73,10 +73,13 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
     import jax.numpy as jnp
 
     from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_stream_words, rans_decode_v2, rans_encode2, stream_word_rows)
+        pack_stream_words, rans_decode_v2, rans_decode_w, rans_encode2,
+        stream_word_rows)
 
     # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG);
-    # rans_encode2 (packed out words) IS the production encode path
+    # rans_encode2 (packed out words) IS the production encode path.
+    # wdec > 0: decode via the HBM-windowed kernel at that interleave
+    # (nway decoupled from stream size; S=32)
     p = _prep(group_bytes, proba)
     fc, mg = p["fc_mg"]
     t4, hcap, tlog = p["t4"], p["hcap"], p["tlog"]
@@ -128,7 +131,9 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
             jnp.asarray(hws),
             jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
         )
-        outw, err = rans_decode_v2(*args, t4, hrows, False, tlog)
+        dec_fn = (lambda a: rans_decode_w(*a, t4, hrows, wdec, tlog, 32)) \
+            if wdec else (lambda a: rans_decode_v2(*a, t4, hrows, False, tlog))
+        outw, err = dec_fn(args)
         if G == g_small:
             e = np.asarray(err)
             assert not e.any(), "decode error flags set"
@@ -139,8 +144,7 @@ def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
     attempts = 0
     while len(slopes) < n_slopes and attempts < n_slopes + 3:
         attempts += 1
-        dt = {G: _time(lambda a=dargs[G]: rans_decode_v2(*a, t4, hrows,
-                                                         False, tlog)[1],
+        dt = {G: _time(lambda a=dargs[G]: dec_fn(a)[1],
                        lambda x: np.asarray(x)) for G in (g_small, g_big)}
         gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
         if dt[g_big] > dt[g_small]:
@@ -442,6 +446,9 @@ def main():
     ap.add_argument("--gsmall", type=int, default=32)
     ap.add_argument("--gbig", type=int, default=160)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--wdec", type=int, default=0,
+                    help="headline decode via the HBM-windowed kernel at "
+                         "this interleave width (0 = resident v2)")
     ap.add_argument("--slopes", type=int, default=5,
                     help="independent headline slope samples; the reported "
                          "value is their MEDIAN with min/max spread (chip "
@@ -457,7 +464,7 @@ def main():
 
     res_enc = res_rt = None
     slopes, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80,
-                                    n_slopes=args.slopes)
+                                    n_slopes=args.slopes, wdec=args.wdec)
     if not slopes:
         slopes = [0.0]
     dec = float(np.median(slopes))
