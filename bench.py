@@ -455,8 +455,36 @@ def main():
                          "throughput varies ~20% run to run)")
     args = ap.parse_args()
 
+    # the axon tunnel hangs (rather than erroring) when its backend is
+    # down; probe device discovery with a generous timeout so a dead
+    # tunnel yields an honest JSON error line instead of a silent hang
+    import threading
+
     import jax
-    log(f"devices: {jax.devices()}")
+
+    devs: list = []
+    probe_err: list = []
+
+    def _probe():
+        try:
+            devs.extend(jax.devices())
+        except Exception as e:  # pragma: no cover
+            probe_err.append(e)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=300)
+    if th.is_alive() or probe_err or not devs:
+        why = ("device discovery timed out (tunnel down?)" if th.is_alive()
+               else f"device discovery failed: {probe_err or 'no devices'}")
+        log(f"FATAL: {why}")
+        print(json.dumps({
+            "metric": "TurboRANS decode GB/s/chip (UNMEASURED: TPU backend unavailable)",
+            "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+            "error": why,
+        }))
+        return
+    log(f"devices: {devs}")
 
     if args.quick:
         args.gsmall, args.gbig = 8, 32
