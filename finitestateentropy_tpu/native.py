@@ -35,7 +35,7 @@ def _load():
         from .utils.debug import debuglog
         debuglog(2, "native turbofse library unavailable; python twin fallback")
         return None
-    if getattr(lib, "tfse_version", lambda: 0)() < 2:
+    if getattr(lib, "tfse_version", lambda: 0)() < 3:
         # stale build from an older checkout: rebuild once and reload
         try:
             subprocess.run(["sh", str(_LIB_DIR / "build.sh")], check=True,
@@ -43,7 +43,7 @@ def _load():
             lib = ctypes.CDLL(str(_LIB))
         except Exception:
             return None
-        if lib.tfse_version() < 2:
+        if lib.tfse_version() < 3:
             return None
     lib.tfse_rans_compress_group.restype = ctypes.c_int64
     lib.tfse_rans_compress_group.argtypes = [
@@ -63,6 +63,10 @@ def _load():
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int32]
     lib.tfse_rans_decompress.restype = ctypes.c_int64
     lib.tfse_rans_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.c_int32]
+    lib.tfse_rans16_decompress.restype = ctypes.c_int64
+    lib.tfse_rans16_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ctypes.c_int32]
     _lib = lib
@@ -156,3 +160,44 @@ def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
     if r < 0:
         raise ValueError(f"native decompress failed: {r}")
     return dst.raw[:r]
+
+
+def _walk_groups16(blob: bytes) -> int:
+    """Header-only walk of u16 frames: total decoded SYMBOLS."""
+    import struct
+
+    pos, total = 0, 0
+    while pos < len(blob):
+        if pos + 16 > len(blob):
+            raise ValueError("truncated turbo-u16 stream")
+        magic, n, csize_hw, tlog, flags, nc_len = struct.unpack_from(
+            "<IIIBBH", blob, pos)
+        if magic != 0x183EF003:
+            raise ValueError("bad turbo-u16 magic")
+        if flags & 1:            # raw
+            pos += 16 + 2 * n
+        elif flags & 2:          # rle
+            pos += 20
+        else:
+            n_pad = (n + 2047) // 2048 * 2048
+            sect = (n_pad // 1024) * 8 if flags & 4 else 0
+            pos += 16 + (nc_len + 3) // 4 * 4 + 4096 + sect + 2 * csize_hw
+        total += n
+    return total
+
+
+def rans16_decompress_native(blob: bytes, nthreads: int = 0):
+    """Multi-group threaded u16 decompress -> np.ndarray[u16]."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native turbofse library unavailable")
+    total = _walk_groups16(blob)
+    dst = ctypes.create_string_buffer(max(2 * total, 1))
+    r = lib.tfse_rans16_decompress(blob, len(blob), dst, total, nthreads)
+    if r < 0:
+        raise ValueError(f"native turbo-u16 decompress failed ({r})")
+    if r != total:
+        raise ValueError("native turbo-u16 decompress: size mismatch")
+    return np.frombuffer(dst.raw[: 2 * total], "<u2").copy()

@@ -556,7 +556,7 @@ inline int sym_index(int t, int k) {
 
 extern "C" {
 
-int64_t tfse_version() { return 2; }
+int64_t tfse_version() { return 3; }  // 3: +u16 decoder
 
 // Group stats only (histogram + normalization + NCount) — the host-side
 // prep for the TPU encode path.  meta = [max_sv, mfs, nc_len] out.
@@ -961,6 +961,181 @@ int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
       int64_t r = tfse_rans_decompress_group(blob + s.src_off, s.src_len,
                                              dst + s.dst_off, s.n_sym,
                                              &consumed);
+      if (r != int64_t(s.n_sym) || consumed != s.src_len) err.store(-5);
+    }
+  };
+  if (want <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned i = 0; i < want; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  if (err.load() != 0) return err.load();
+  return int64_t(out);
+}
+
+
+// ---------------------------------------------------------------------------
+// TurboRANS-U16 decode (fseU16-class frames, magic 0x183EF003): same
+// 1024-lane machine with u16 symbols, alphabets to 4095, tableLog to 13
+// (turbo/rans16.py is the wire twin).  Scalar 3-pass loop; output is the
+// little-endian u16 symbol array (dst sized in symbols).
+// ---------------------------------------------------------------------------
+
+int64_t tfse_rans16_decompress_group(const uint8_t* blob, uint64_t len,
+                                     uint8_t* dst, uint64_t cap_syms,
+                                     uint64_t* consumed) {
+  constexpr uint32_t kMagic16 = 0x183EF003u;
+  constexpr int kStepSyms16 = 2048;  // 2 u16 per lane slot per supercycle
+  if (len < 16) return -1;
+  Header h = get_header(blob);
+  if (h.magic != kMagic16) return -2;
+  uint64_t pos = 16;
+  if (h.flags & kFlagRaw) {
+    if (pos + 2ull * h.n_sym > len || h.n_sym > cap_syms) return -3;
+    std::memcpy(dst, blob + pos, 2ull * h.n_sym);
+    *consumed = pos + 2ull * h.n_sym;
+    return h.n_sym;
+  }
+  if (h.flags & kFlagRle) {
+    if (pos + 4 > len || h.n_sym > cap_syms) return -3;
+    uint16_t v = load_le16(blob + pos);
+    uint16_t* d16 = reinterpret_cast<uint16_t*>(dst);
+    for (uint64_t i = 0; i < h.n_sym; ++i) d16[i] = v;
+    *consumed = pos + 4;
+    return h.n_sym;
+  }
+  static thread_local int16_t norm[4096];
+  int max_sv = 0, tl = 0;
+  int avail = int(len - pos < 8200 ? len - pos : 8200);
+  int used = read_ncount(norm, &max_sv, &tl, blob + pos, avail, 4095);
+  if (used < 0 || tl != h.table_log) return -4;
+  if (tl < kMinTableLog || tl > 13) return -4;
+  int nc_pad = (int(h.ncount_len) + 3) & ~3;
+  pos += nc_pad;
+  if (pos + 4 * kLanes + 2 * h.csize_hw > len || h.n_sym > cap_syms) return -3;
+  const uint8_t* init = blob + pos;
+  pos += 4 * kLanes;
+  uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms16 - 1) / kStepSyms16 *
+                   kStepSyms16;
+  int T = int(n_pad / kLanes);
+  if (h.flags & kFlagStepTots) {
+    uint64_t sect = uint64_t(T) * 8;   // u16 wire has no rows4/totals modes
+    if (pos + sect > len) return -3;
+    pos += sect;
+  }
+  if (pos + 2 * h.csize_hw > len) return -3;
+  const uint8_t* hw = blob + pos;
+  pos += 2 * h.csize_hw;
+
+  // split scalar tables: sym / freq / (slot - cumul), u16 each (tlog<=13)
+  static thread_local uint16_t t_sym[1 << 13];
+  static thread_local uint16_t t_f[1 << 13];
+  static thread_local uint16_t t_j[1 << 13];
+  {
+    int slot = 0;
+    for (int ssym = 0; ssym <= max_sv; ++ssym) {
+      int f = norm[ssym] == -1 ? 1 : norm[ssym];
+      for (int j = 0; j < f; ++j, ++slot) {
+        t_sym[slot] = uint16_t(ssym);
+        t_f[slot] = uint16_t(f);
+        t_j[slot] = uint16_t(j);
+      }
+    }
+    if (slot != (1 << tl)) return -4;
+  }
+
+  alignas(32) static thread_local uint32_t x[kLanes];
+  static thread_local uint16_t syms[kLanes];
+  static thread_local uint8_t flags[kLanes];
+  std::memcpy(x, init, 4 * kLanes);
+  int64_t cursor = h.csize_hw;
+  uint16_t* d16 = reinterpret_cast<uint16_t*>(dst);
+  uint64_t full_t = h.n_sym / kStepSyms16 * 2;  // steps with no dst guard
+
+  for (int t = 0; t < T; ++t) {
+    for (int k = 0; k < kLanes; ++k) {
+      uint32_t xv = x[k];
+      uint32_t slot = xv & ((1u << tl) - 1);
+      syms[k] = t_sym[slot];
+      xv = uint32_t(t_f[slot]) * (xv >> tl) + t_j[slot];
+      flags[k] = xv < kL;
+      x[k] = xv;
+    }
+    for (int k = 0; k < kLanes; ++k) {
+      if (flags[k]) {
+        --cursor;
+        uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw
+                         ? load_le16(hw + 2 * cursor) : 0;
+        x[k] = (x[k] << 16) | v;
+      }
+    }
+    // symbol i = (t>>1)*2048 + 2*k + (t&1), lane k at step t
+    uint16_t* base = d16 + (int64_t(t >> 1) * kStepSyms16 + (t & 1));
+    if (uint64_t(t) < full_t) {
+      for (int k = 0; k < kLanes; ++k) base[2 * k] = syms[k];
+    } else {
+      for (int k = 0; k < kLanes; ++k) {
+        int64_t i = int64_t(t >> 1) * kStepSyms16 + 2 * k + (t & 1);
+        if (uint64_t(i) < h.n_sym) d16[i] = syms[k];
+      }
+    }
+  }
+  if (cursor != 0) return -5;
+  for (int k = 0; k < kLanes; ++k)
+    if (x[k] != kL) return -5;
+  *consumed = pos;
+  return h.n_sym;
+}
+
+// Multi-group u16 decompress; dst/cap in SYMBOLS.  Threaded like the byte
+// path (groups independent; header walk sizes spans first).
+int64_t tfse_rans16_decompress(const uint8_t* blob, uint64_t len,
+                               uint8_t* dst, uint64_t cap_syms,
+                               int32_t nthreads) {
+  constexpr uint32_t kMagic16 = 0x183EF003u;
+  constexpr int kStepSyms16 = 2048;
+  struct Span { uint64_t src_off, src_len, dst_off, n_sym; };
+  std::vector<Span> spans;
+  uint64_t pos = 0, out = 0;
+  while (pos < len) {
+    if (pos + 16 > len) return -2;
+    Header h = get_header(blob + pos);
+    if (h.magic != kMagic16) return -2;
+    uint64_t gl;
+    if (h.flags & kFlagRaw) {
+      gl = 16 + 2ull * h.n_sym;
+    } else if (h.flags & kFlagRle) {
+      gl = 20;
+    } else {
+      uint64_t n_pad = (uint64_t(h.n_sym) + kStepSyms16 - 1) / kStepSyms16 *
+                       kStepSyms16;
+      uint64_t sect = (h.flags & kFlagStepTots) ? (n_pad / kLanes) * 8 : 0;
+      gl = 16 + uint64_t((h.ncount_len + 3) & ~3) + 4 * kLanes + sect +
+           2 * uint64_t(h.csize_hw);
+    }
+    if (pos + gl > len) return -3;
+    spans.push_back({pos, gl, out, h.n_sym});
+    pos += gl;
+    out += h.n_sym;
+  }
+  if (out > cap_syms) return -3;
+  unsigned want = nthreads > 0 ? unsigned(nthreads)
+                               : std::thread::hardware_concurrency();
+  if (want == 0) want = 1;
+  if (want > spans.size()) want = unsigned(spans.size());
+  std::atomic<uint64_t> next{0};
+  std::atomic<int64_t> err{0};
+  auto worker = [&]() {
+    for (;;) {
+      uint64_t g = next.fetch_add(1);
+      if (g >= spans.size() || err.load() != 0) return;
+      const Span& s = spans[g];
+      uint64_t consumed = 0;
+      int64_t r = tfse_rans16_decompress_group(
+          blob + s.src_off, s.src_len, dst + 2 * s.dst_off, s.n_sym,
+          &consumed);
       if (r != int64_t(s.n_sym) || consumed != s.src_len) err.store(-5);
     }
   };

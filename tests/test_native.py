@@ -97,3 +97,28 @@ def test_native_decodes_speed_tablelog_frames():
     for tlog in (0, 9, 10, 12):   # 0 = mode default (10)
         blob = rans_compress(data, table_log=tlog)
         assert native.rans_decompress_native(blob) == data, tlog
+
+
+def test_native_u16_decoder_matches_twin():
+    """Native u16 decoder (tfse_rans16_decompress) reads twin-encoded
+    frames across the alphabet range, fallbacks, and multi-group blobs."""
+    from finitestateentropy_tpu.turbo.rans16 import rans16_compress
+
+    rng = np.random.default_rng(0)
+    small = np.clip((rng.pareto(1.2, 1 << 17) * 50).astype(np.int64), 0,
+                    1023).astype(np.uint16)
+    big = np.clip((rng.pareto(1.1, 1 << 16) * 500).astype(np.int64), 0,
+                  4095).astype(np.uint16)
+    rle = np.full(30000, 77, np.uint16)
+    for d in (small, big, rle):
+        blob = rans16_compress(d)
+        assert np.array_equal(native.rans16_decompress_native(blob), d)
+    parts = [small, big, rle, small[: 1 << 14]]
+    blob = b"".join(rans16_compress(p) for p in parts)
+    out = native.rans16_decompress_native(blob, nthreads=2)
+    assert np.array_equal(out, np.concatenate(parts))
+    # corruption must error, not crash
+    bad = bytearray(rans16_compress(small))
+    bad[-7] ^= 0x40
+    with pytest.raises(ValueError):
+        native.rans16_decompress_native(bytes(bad))
