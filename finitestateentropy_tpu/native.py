@@ -69,6 +69,10 @@ def _load():
     lib.tfse_rans16_decompress.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ctypes.c_int32]
+    lib.tfse_rans16_compress.restype = ctypes.c_int64
+    lib.tfse_rans16_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_char_p,
+        ctypes.c_uint64, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -201,3 +205,25 @@ def rans16_decompress_native(blob: bytes, nthreads: int = 0):
     if r != total:
         raise ValueError("native turbo-u16 decompress: size mismatch")
     return np.frombuffer(dst.raw[: 2 * total], "<u2").copy()
+
+
+def rans16_compress_native(symbols, group_syms: int = 1 << 19,
+                           nthreads: int = 0) -> bytes:
+    """Multi-group u16 compress, byte-identical to
+    rans16_compress(..., steptots=False) (ratio-mode frames)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native turbofse library unavailable")
+    sym = np.ascontiguousarray(symbols, dtype="<u2")
+    n = len(sym)
+    group_syms = max(int(group_syms), 1)
+    ngroups = max((n + group_syms - 1) // group_syms, 1)
+    cap = 2 * n + ngroups * (16 + 16384)
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.tfse_rans16_compress(sym.tobytes(), n, group_syms, dst, cap,
+                                 nthreads)
+    if r < 0:
+        raise RuntimeError(f"native u16 compress failed: {r}")
+    return dst.raw[:r]

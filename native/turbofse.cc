@@ -983,6 +983,176 @@ int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
 // little-endian u16 symbol array (dst sized in symbols).
 // ---------------------------------------------------------------------------
 
+// u16 optimal tableLog (refimpl/norm.py fse_optimal_table_log, minus=2,
+// max_allowed 13) — picks the twin's exact tlog so frames stay identical
+static int optimal_table_log16(int req, uint64_t n, int max_sv) {
+  int max_bits_src = highbit32(uint32_t(n - 1)) - 2;
+  int tl = req;
+  int min_bits = fse_min_table_log(n, max_sv);
+  if (max_bits_src < tl) tl = max_bits_src;
+  if (min_bits > tl) tl = min_bits;
+  if (tl < kMinTableLog) tl = kMinTableLog;
+  if (tl > 13) tl = 13;
+  return tl;
+}
+
+// TurboRANS-U16 encode: ratio-mode (flags 0) frames byte-identical to
+// rans16_compress(symbols, steptots=False).  src is the LE u16 symbol
+// array; n in SYMBOLS.
+int64_t tfse_rans16_compress_group(const uint8_t* src, uint64_t n,
+                                   uint8_t* dst, uint64_t cap) {
+  constexpr uint32_t kMagic16 = 0x183EF003u;
+  constexpr int kStepSyms16 = 2048;
+  if (n == 0) {
+    if (cap < 16) return -1;
+    Header h{kMagic16, 0, 0, 0, kFlagRaw, 0};
+    put_header(dst, h);
+    return 16;
+  }
+  const uint16_t* sp = reinterpret_cast<const uint16_t*>(src);
+  int max_sv = 0;
+  static thread_local uint32_t count[4096];
+  std::memset(count, 0, sizeof(count));
+  for (uint64_t i = 0; i < n; ++i) {
+    uint32_t v = sp[i];
+    if (v > 4095) return -6;
+    ++count[v];
+    if (int(v) > max_sv) max_sv = int(v);
+  }
+  uint32_t max_count = 0;
+  int mfs = 0;
+  for (int ssym = 0; ssym <= max_sv; ++ssym)
+    if (count[ssym] > max_count) { max_count = count[ssym]; mfs = ssym; }
+  if (max_count == n) {  // RLE
+    if (cap < 20) return -1;
+    Header h{kMagic16, uint32_t(n), 0, 0, kFlagRle, 0};
+    put_header(dst, h);
+    dst[16] = uint8_t(sp[0]);
+    dst[17] = uint8_t(sp[0] >> 8);
+    dst[18] = dst[19] = 0;
+    return 20;
+  }
+
+  int tlog_req = max_sv <= 1023 ? kTableLog : (max_sv <= 2047 ? 12 : 13);
+  int tl = optimal_table_log16(tlog_req, n, max_sv);
+  static thread_local int16_t norm[4096];
+  int tl_used = normalize_count(norm, tl, count, n, max_sv);
+  if (tl_used < 0) goto raw16;
+  {
+    static thread_local uint8_t ncount[8192];
+    int nc_len = write_ncount(ncount, sizeof(ncount), norm, max_sv, tl);
+    if (nc_len < 0) goto raw16;
+    int nc_pad = (nc_len + 3) & ~3;
+
+    static thread_local uint32_t freq[4096], cumul[4096], magic[4096];
+    uint32_t acc = 0;
+    for (int ssym = 0; ssym <= max_sv; ++ssym) {
+      uint32_t f = norm[ssym] == -1 ? 1u : uint32_t(norm[ssym]);
+      freq[ssym] = f;
+      cumul[ssym] = acc;
+      uint64_t m = (uint64_t(1) << 32) / (f ? f : 1);
+      magic[ssym] = uint32_t(m > 0xFFFFFFFFull ? 0xFFFFFFFFull : m);
+      acc += f;
+    }
+
+    uint64_t n_pad = (n + kStepSyms16 - 1) / kStepSyms16 * kStepSyms16;
+    int T = int(n_pad / kLanes);
+    uint64_t header_bytes = 16 + nc_pad + 4 * kLanes;
+    if (cap <= header_bytes) goto raw16;
+    uint64_t hw_cap = (cap - header_bytes) / 2;
+    uint16_t* hw = reinterpret_cast<uint16_t*>(dst + header_bytes);
+    uint64_t hw_pos = 0;
+
+    alignas(32) static thread_local uint32_t x[kLanes];
+    for (int k = 0; k < kLanes; ++k) x[k] = kL;
+
+    int shift = 32 - tl;
+    for (int t = T - 1; t >= 0; --t) {
+      for (int k = kLanes - 1; k >= 0; --k) {
+        // symbol i = (t>>1)*2048 + 2*k + (t&1)
+        int64_t i = int64_t(t >> 1) * kStepSyms16 + 2 * k + (t & 1);
+        uint32_t ssym = (uint64_t(i) < n) ? sp[i] : uint32_t(mfs);
+        uint32_t f = freq[ssym];
+        uint32_t xv = x[k];
+        if (xv >= (f << shift)) {
+          if (hw_pos >= hw_cap) goto raw16;
+          hw[hw_pos++] = uint16_t(xv);
+          xv >>= 16;
+        }
+        uint32_t q = uint32_t((uint64_t(xv) * magic[ssym]) >> 32);
+        uint32_t r = xv - q * f;
+        if (r >= f) { ++q; r -= f; }
+        if (r >= f) { ++q; r -= f; }
+        x[k] = (q << tl) + cumul[ssym] + r;
+      }
+    }
+
+    Header h{kMagic16, uint32_t(n), uint32_t(hw_pos), uint8_t(tl), 0,
+             uint16_t(nc_len)};
+    put_header(dst, h);
+    std::memcpy(dst + 16, ncount, nc_len);
+    std::memset(dst + 16 + nc_len, 0, nc_pad - nc_len);
+    std::memcpy(dst + 16 + nc_pad, x, 4 * kLanes);
+    uint64_t out_len = header_bytes + 2 * hw_pos;
+    if (out_len >= 2 * n + 16) goto raw16;
+    return int64_t(out_len);
+  }
+raw16:
+  if (cap < 16 + 2 * n) return -1;
+  {
+    Header h{kMagic16, uint32_t(n), 0, 0, kFlagRaw, 0};
+    put_header(dst, h);
+    std::memcpy(dst + 16, src, 2 * n);
+  }
+  return int64_t(16 + 2 * n);
+}
+
+// Multi-group u16 compress (group in SYMBOLS); threaded like the byte path
+int64_t tfse_rans16_compress(const uint8_t* src, uint64_t n,
+                             uint64_t group_syms, uint8_t* dst, uint64_t cap,
+                             int32_t nthreads) {
+  if (group_syms == 0) group_syms = 1;
+  uint64_t ngroups = n ? (n + group_syms - 1) / group_syms : 1;
+  std::vector<int64_t> sizes(ngroups, 0);
+  std::vector<std::vector<uint8_t>> outs(ngroups);
+  std::atomic<uint64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      uint64_t g = next.fetch_add(1);
+      if (g >= ngroups) return;
+      uint64_t st = g * group_syms;
+      uint64_t ln = st < n ? (n - st < group_syms ? n - st : group_syms) : 0;
+      uint64_t gcap = 2 * ln + 16 + 16384;
+      outs[g].resize(size_t(gcap));
+      sizes[g] = tfse_rans16_compress_group(src + 2 * st, ln, outs[g].data(),
+                                            gcap);
+    }
+  };
+  unsigned want = nthreads > 0 ? unsigned(nthreads)
+                               : std::thread::hardware_concurrency();
+  if (want == 0) want = 1;
+  if (want > ngroups) want = unsigned(ngroups);
+  if (want <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned i = 0; i < want; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  uint64_t total = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    if (sizes[g] < 0) return sizes[g];
+    total += uint64_t(sizes[g]);
+  }
+  if (total > cap) return -3;
+  uint64_t pos = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    std::memcpy(dst + pos, outs[g].data(), size_t(sizes[g]));
+    pos += uint64_t(sizes[g]);
+  }
+  return int64_t(total);
+}
+
 int64_t tfse_rans16_decompress_group(const uint8_t* blob, uint64_t len,
                                      uint8_t* dst, uint64_t cap_syms,
                                      uint64_t* consumed) {

@@ -122,3 +122,30 @@ def test_native_u16_decoder_matches_twin():
     bad[-7] ^= 0x40
     with pytest.raises(ValueError):
         native.rans16_decompress_native(bytes(bad))
+
+
+def test_native_u16_encoder_byte_identical_to_twin():
+    """tfse_rans16_compress emits frames byte-identical to
+    rans16_compress(steptots=False) across alphabets and fallbacks, and
+    the native decoder round-trips them."""
+    from finitestateentropy_tpu.turbo.rans16 import rans16_compress
+
+    rng = np.random.default_rng(1)
+    cases = (
+        np.clip((rng.pareto(1.2, 1 << 16) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16),
+        np.clip((rng.pareto(1.1, 1 << 15) * 500).astype(np.int64), 0,
+                4095).astype(np.uint16),
+        np.full(3000, 9, np.uint16),
+        rng.integers(0, 1024, 20000).astype(np.uint16),
+    )
+    for d in cases:
+        nb = native.rans16_compress_native(d)
+        assert nb == rans16_compress(d, steptots=False)
+        assert np.array_equal(native.rans16_decompress_native(nb), d)
+    # multi-group with a ragged tail
+    d = cases[0]
+    nb = native.rans16_compress_native(d, group_syms=20000, nthreads=2)
+    tw = b"".join(rans16_compress(d[i : i + 20000], steptots=False)
+                  for i in range(0, len(d), 20000))
+    assert nb == tw
