@@ -24,7 +24,7 @@ from ..refimpl.fseu16 import fse_compress_u16, fse_decompress_u16
 
 class U16Codec:
     def __init__(self, wire: str = "compat", interpret: bool = False):
-        if wire not in ("compat", "turbo"):
+        if wire not in ("compat", "turbo", "turbo_native"):
             raise ValueError(f"unknown u16 wire {wire!r}")
         self.wire = wire
         self.interpret = interpret
@@ -83,14 +83,32 @@ class U16Codec:
         return [turbo16_decompress_device(p, interpret=self.interpret)[:n]
                 for p, n in items]
 
+    # -- turbo wire, native host codec (no TPU needed; frames interchange
+    # with the device path — the native decoder reads v1 AND v2 frames) ----
+
+    def _compress_turbo_native(self, streams):
+        from .. import native
+
+        return [native.rans16_compress_native(
+            np.ascontiguousarray(s, np.uint16)) for s in streams]
+
+    def _decompress_turbo_native(self, items):
+        from .. import native
+
+        return [native.rans16_decompress_native(p)[:n] for p, n in items]
+
     # -- public batch interface --------------------------------------------
 
     def compress_streams(self, streams):
         if self.wire == "compat":
             return self._compress_compat(streams)
+        if self.wire == "turbo_native":
+            return self._compress_turbo_native(streams)
         return self._compress_turbo(streams)
 
     def decompress_streams(self, items):
         if self.wire == "compat":
             return self._decompress_compat(items)
+        if self.wire == "turbo_native":
+            return self._decompress_turbo_native(items)
         return self._decompress_turbo(items)

@@ -149,3 +149,26 @@ def test_native_u16_encoder_byte_identical_to_twin():
     tw = b"".join(rans16_compress(d[i : i + 20000], steptots=False)
                   for i in range(0, len(d), 20000))
     assert nb == tw
+
+
+def test_u16codec_turbo_native_wire_interchange():
+    """U16Codec(wire='turbo_native') frames interchange with the device
+    wire: native-encoded groups decode through the device path and
+    device-encoded (v2) groups decode through the native path."""
+    from finitestateentropy_tpu.models.u16_codec import U16Codec
+    from finitestateentropy_tpu.turbo.api import (turbo16_compress_device,
+                                                  turbo16_decompress_device)
+
+    rng = np.random.default_rng(2)
+    d = np.clip((rng.pareto(1.2, 1 << 15) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16)
+    c = U16Codec(wire="turbo_native")
+    blobs = c.compress_streams([d])
+    assert np.array_equal(c.decompress_streams([(blobs[0], len(d))])[0], d)
+    # cross: native frame -> device decoder
+    assert np.array_equal(
+        turbo16_decompress_device(blobs[0], interpret=True)[: len(d)], d)
+    # cross: device (v2) frame -> native decoder
+    dev = turbo16_compress_device(d, interpret=True)
+    assert np.array_equal(
+        c.decompress_streams([(dev, len(d))])[0], d)
