@@ -73,6 +73,10 @@ def _load():
     lib.tfse_rans16_compress.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_char_p,
         ctypes.c_uint64, ctypes.c_int32]
+    lib.tfse_rans_compress2.restype = ctypes.c_int64
+    lib.tfse_rans_compress2.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -226,4 +230,27 @@ def rans16_compress_native(symbols, group_syms: int = 1 << 19,
                                  nthreads)
     if r < 0:
         raise RuntimeError(f"native u16 compress failed: {r}")
+    return dst.raw[:r]
+
+
+def rans_compress2_native(data: bytes, group_size: int = 1 << 20,
+                          table_log: int = 0, nthreads: int = 0) -> bytes:
+    """Speed-mode multi-group compress: FLAG_STEPTOTS (+ROWS4 when
+    smaller) frames byte-identical to rans_compress(data, steptots=True).
+    table_log 0 = the speed default (RANS_SPEED_TABLELOG)."""
+    from .turbo.rans import RANS_SPEED_TABLELOG
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native turbofse library unavailable")
+    if table_log == 0:
+        table_log = RANS_SPEED_TABLELOG
+    group_size = max(int(group_size), 1)
+    ngroups = max((len(data) + group_size - 1) // group_size, 1)
+    cap = len(data) + len(data) // 32 + ngroups * (16 + 16384)
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.tfse_rans_compress2(data, len(data), group_size, table_log, dst,
+                                cap, nthreads)
+    if r < 0:
+        raise RuntimeError(f"native compress2 failed: {r}")
     return dst.raw[:r]

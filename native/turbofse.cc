@@ -459,7 +459,8 @@ inline uint64_t encode_step_avx2(uint32_t* x, const uint32_t* fc_tbl,
                                  const uint32_t* magic_tbl, int tl,
                                  const uint32_t* words, int p,
                                  uint16_t* hw, uint64_t pos, uint64_t hw_cap,
-                                 bool* overflow) {
+                                 bool* overflow,
+                                 uint8_t* rowtots = nullptr) {
   // per-block emissions pre-compacted (descending lane order) in pass 1;
   // pass 2 stitches blocks high->low with unconditional 16-byte stores
   alignas(32) static thread_local uint16_t stage[kLanes];
@@ -488,6 +489,7 @@ inline uint64_t encode_step_avx2(uint32_t* x, const uint32_t* fc_tbl,
         _mm_shuffle_epi8(e16, _mm_load_si128((const __m128i*)g_compact.t[m])));
     cnt[b] = uint8_t(__builtin_popcount(m));
     total += cnt[b];
+    if (rowtots) rowtots[b >> 4] = uint8_t(rowtots[b >> 4] + cnt[b]);
     xv = _mm256_blendv_epi8(xv, _mm256_srli_epi32(xv, 16), flag);
     __m256i q = mulhi_epu32(xv, mg);
     __m256i r = _mm256_sub_epi32(xv, _mm256_mullo_epi32(q, f));
@@ -590,8 +592,9 @@ int64_t tfse_prep_group(const uint8_t* src, uint64_t n, int32_t tlog,
   return 1;
 }
 
-int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
-                                 uint8_t* dst, uint64_t cap) {
+static int64_t rans_compress_group_impl(const uint8_t* src, uint64_t n,
+                                        uint8_t* dst, uint64_t cap,
+                                        int req_tlog, bool steptots) {
   if (cap < 16) return -1;
   if (n == 0) {
     Header h{kMagic, 0, 0, 0, kFlagRaw, 0};
@@ -624,15 +627,26 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
   }
 
   int16_t norm[256];
-  int tl = normalize_count(norm, kTableLog, count, n, max_sv);
-  if (tl != kTableLog) {
-    // tableLog 11 is always >= minTableLog for group-scale inputs; treat
-    // anything else as incompressible
+  // twin parity: table_log = min(req, FSE_optimalTableLog(req, n, max_sv))
+  // (refimpl/norm.py fse_optimal_table_log, minus=2, max 12)
+  int opt;
+  {
+    int max_bits_src = highbit32(uint32_t(n - 1)) - 2;
+    opt = req_tlog;
+    int min_bits = fse_min_table_log(n, max_sv);
+    if (max_bits_src < opt) opt = max_bits_src;
+    if (min_bits > opt) opt = min_bits;
+    if (opt < kMinTableLog) opt = kMinTableLog;
+    if (opt > 12) opt = 12;
+  }
+  const int etl = req_tlog < opt ? req_tlog : opt;
+  int tl = normalize_count(norm, etl, count, n, max_sv);
+  if (tl != etl) {
     goto raw;
   }
   {
     uint8_t ncount[512];
-    int nc_len = write_ncount(ncount, sizeof(ncount), norm, max_sv, kTableLog);
+    int nc_len = write_ncount(ncount, sizeof(ncount), norm, max_sv, etl);
     if (nc_len < 0) goto raw;
     int nc_pad = (nc_len + 3) & ~3;
 
@@ -665,6 +679,11 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
     static thread_local uint32_t fc_tbl[256];
     for (int s = 0; s <= max_sv; ++s) fc_tbl[s] = (cumul[s] << 12) | freq[s];
 #endif
+    // speed-mode section: per-step per-row renorm counts (decode order)
+    static thread_local std::vector<uint8_t> tots;
+    if (steptots) {
+      tots.assign(size_t(T) * 8, 0);
+    }
 
     // steps t = T-1 .. 0; within a step lanes descend (reverse of the
     // decoder's ascending-lane reads); emissions append forward
@@ -675,9 +694,11 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
         // contiguous loads (sym_index(t,k) = word (t>>2)*1024+k, byte t&3)
         const uint8_t* wbase = src + uint64_t(t >> 2) * kStepSyms;
         bool overflow = false;
-        hw_pos = encode_step_avx2(x, fc_tbl, magic, kTableLog,
+        hw_pos = encode_step_avx2(x, fc_tbl, magic, etl,
                                   (const uint32_t*)wbase, t & 3, hw, hw_pos,
-                                  hw_cap, &overflow);
+                                  hw_cap, &overflow,
+                                  steptots ? tots.data() + size_t(t) * 8
+                                           : nullptr);
         if (overflow) goto raw;
         continue;
       }
@@ -687,28 +708,75 @@ int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
         uint32_t s = (uint64_t(i) < n) ? src[i] : uint32_t(mfs);
         uint32_t f = freq[s];
         uint32_t xv = x[k];
-        if (xv >= (f << (32 - kTableLog))) {
+        if (xv >= (f << (32 - etl))) {
           if (hw_pos >= hw_cap) goto raw;
           hw[hw_pos++] = uint16_t(xv);
           xv >>= 16;
+          if (steptots) ++tots[size_t(t) * 8 + (k >> 7)];
         }
         uint32_t q = uint32_t((uint64_t(xv) * magic[s]) >> 32);
         uint32_t r = xv - q * f;
         if (r >= f) { ++q; r -= f; }
         if (r >= f) { ++q; r -= f; }
-        x[k] = (q << kTableLog) + cumul[s] + r;
+        x[k] = (q << etl) + cumul[s] + r;
       }
     }
 
-    Header h{kMagic, uint32_t(n), uint32_t(hw_pos), kTableLog, 0,
+    // section serialization (twin parity incl. FLAG_ROWS4 nibble+escape
+    // packing whenever it is smaller, turbo/rans.py _pack_rows4)
+    static thread_local std::vector<uint8_t> sect;
+    uint8_t fl = 0;
+    if (steptots) {
+      fl = kFlagStepTots;
+      uint32_t n_exc = 0;
+      for (size_t i = 0; i < tots.size(); ++i) n_exc += tots[i] >= 15;
+      if (4 + 4ull * n_exc < 4ull * T) {
+        fl |= kFlagRows4;
+        sect.assign(4 + 4ull * n_exc + 4ull * T, 0);
+        sect[0] = uint8_t(n_exc);
+        sect[1] = uint8_t(n_exc >> 8);
+        sect[2] = uint8_t(n_exc >> 16);
+        sect[3] = uint8_t(n_exc >> 24);
+        size_t e = 4;
+        for (int t = 0; t < T; ++t)
+          for (int rr = 0; rr < 8; ++rr) {
+            uint8_t v = tots[size_t(t) * 8 + rr];
+            if (v >= 15) {
+              sect[e] = uint8_t(t);
+              sect[e + 1] = uint8_t(t >> 8);
+              sect[e + 2] = uint8_t(rr);
+              sect[e + 3] = v;
+              e += 4;
+            }
+          }
+        uint8_t* nib = sect.data() + e;
+        for (int t = 0; t < T; t += 2)
+          for (int rr = 0; rr < 8; ++rr) {
+            uint8_t lo = tots[size_t(t) * 8 + rr];
+            uint8_t hi = tots[size_t(t + 1) * 8 + rr];
+            nib[size_t(t / 2) * 8 + rr] =
+                uint8_t((lo < 15 ? lo : 15) | ((hi < 15 ? hi : 15) << 4));
+          }
+      } else {
+        sect.assign(tots.begin(), tots.end());
+      }
+    } else {
+      sect.clear();
+    }
+    uint64_t out_len = header_bytes + sect.size() + 2 * hw_pos;
+    if (out_len >= n + 16 || out_len > cap) goto raw;
+    if (!sect.empty())  // stream bytes move up by the section size
+      std::memmove(dst + header_bytes + sect.size(), dst + header_bytes,
+                   2 * hw_pos);
+    Header h{kMagic, uint32_t(n), uint32_t(hw_pos), uint8_t(etl), fl,
              uint16_t(nc_len)};
     put_header(dst, h);
     std::memcpy(dst + 16, ncount, nc_len);
     std::memset(dst + 16 + nc_len, 0, nc_pad - nc_len);
     // init states = final encoder states (u32 each, flat lane order)
     std::memcpy(dst + 16 + nc_pad, x, 4 * kLanes);
-    uint64_t out_len = header_bytes + 2 * hw_pos;
-    if (out_len >= n + 16) goto raw;
+    if (!sect.empty())
+      std::memcpy(dst + header_bytes, sect.data(), sect.size());
     return int64_t(out_len);
   }
 raw:
@@ -725,6 +793,20 @@ raw:
 // worker claims the next group off an atomic counter, compresses into its
 // own scratch (worst case: raw group + header), and the blobs concatenate
 // in group order.  nthreads <= 0 picks hardware_concurrency.
+int64_t tfse_rans_compress_group(const uint8_t* src, uint64_t n,
+                                 uint8_t* dst, uint64_t cap) {
+  return rans_compress_group_impl(src, n, dst, cap, kTableLog, false);
+}
+
+// speed-mode group encode: FLAG_STEPTOTS (+ROWS4 when smaller) frames
+// byte-identical to rans_compress(data, table_log=tlog, steptots=True)
+int64_t tfse_rans_compress2_group(const uint8_t* src, uint64_t n,
+                                  uint8_t* dst, uint64_t cap,
+                                  int32_t tlog) {
+  if (tlog < kMinTableLog || tlog > 12) return -6;
+  return rans_compress_group_impl(src, n, dst, cap, int(tlog), true);
+}
+
 int64_t tfse_rans_compress(const uint8_t* src, uint64_t n, uint64_t group,
                            uint8_t* dst, uint64_t cap, int32_t nthreads) {
   if (group == 0) return -1;
@@ -744,6 +826,51 @@ int64_t tfse_rans_compress(const uint8_t* src, uint64_t n, uint64_t group,
       outs[g].resize(gn + 16 + 8192);
       sizes[g] = tfse_rans_compress_group(src + off, gn, outs[g].data(),
                                           outs[g].size());
+    }
+  };
+  if (want <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned i = 0; i < want; ++i) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  uint64_t total = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    if (sizes[g] < 0) return -1;
+    total += uint64_t(sizes[g]);
+  }
+  if (total > cap) return -3;
+  uint64_t pos = 0;
+  for (uint64_t g = 0; g < ngroups; ++g) {
+    std::memcpy(dst + pos, outs[g].data(), size_t(sizes[g]));
+    pos += uint64_t(sizes[g]);
+  }
+  return int64_t(total);
+}
+
+// speed-mode multi-group compress: FLAG_STEPTOTS(+ROWS4) frames
+int64_t tfse_rans_compress2(const uint8_t* src, uint64_t n, uint64_t group,
+                            int32_t tlog, uint8_t* dst, uint64_t cap,
+                            int32_t nthreads) {
+  if (group == 0) return -1;
+  if (tlog < kMinTableLog || tlog > 12) return -6;
+  if (n == 0) return tfse_rans_compress_group(src, 0, dst, cap);
+  uint64_t ngroups = (n + group - 1) / group;
+  std::vector<std::vector<uint8_t>> outs(ngroups);
+  std::vector<int64_t> sizes(ngroups, -1);
+  unsigned want = nthreads > 0 ? unsigned(nthreads)
+                               : std::thread::hardware_concurrency();
+  if (want == 0) want = 1;
+  if (want > ngroups) want = unsigned(ngroups);
+  std::atomic<uint64_t> next{0};
+  auto worker = [&]() {
+    for (uint64_t g; (g = next.fetch_add(1)) < ngroups;) {
+      uint64_t off = g * group;
+      uint64_t gn = off + group <= n ? group : n - off;
+      outs[g].resize(gn + gn / 64 + 16 + 16384);  // + section headroom
+      sizes[g] = tfse_rans_compress2_group(src + off, gn, outs[g].data(),
+                                           outs[g].size(), tlog);
     }
   };
   if (want <= 1) {

@@ -172,3 +172,35 @@ def test_u16codec_turbo_native_wire_interchange():
     dev = turbo16_compress_device(d, interpret=True)
     assert np.array_equal(
         c.decompress_streams([(dev, len(d))])[0], d)
+
+
+def test_native_speed_mode_encoder_byte_identical_to_twin():
+    """tfse_rans_compress2 (FLAG_STEPTOTS + ROWS4 when smaller) emits
+    frames byte-identical to rans_compress(steptots=True) across rows4
+    (p80), plain-rows fallback (p14), raw, RLE, and ragged sizes — so a
+    host can encode at native speed into frames the device decodes with
+    the fused-rank v2/windowed kernels."""
+    from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
+
+    rng = np.random.default_rng(4)
+    cases = (
+        generate_proba(80)[: 1 << 18],
+        generate_proba(80)[:40000],
+        generate_proba(14)[: 1 << 17],
+        bytes(rng.integers(0, 256, 1 << 16, dtype=np.uint8)),
+        b"Q" * 50000,
+        b"abracadabra" * 40,
+    )
+    for d in cases:
+        nb = native.rans_compress2_native(d, group_size=1 << 20)
+        assert nb == rans_compress(d, steptots=True)
+        assert rans_decompress(nb) == d
+        assert native.rans_decompress_native(nb) == d
+    # multi-group with ragged tail, explicit tableLog 11
+    d = generate_proba(80)[:300000]
+    nb = native.rans_compress2_native(d, group_size=1 << 17, table_log=11,
+                                      nthreads=2)
+    tw = b"".join(rans_compress(d[i : i + (1 << 17)], table_log=11,
+                                steptots=True)
+                  for i in range(0, len(d), 1 << 17))
+    assert nb == tw
