@@ -237,25 +237,39 @@ TURBO_EXTENSION = ".tfse"
 def _turbo_main(args, verbosity: int) -> int:
     """TurboRANS frame path: device kernels on TPU, the native C++ codec on
     hosts without one, numpy twin as the last resort."""
-    try:
-        import jax
+    # backend discovery can HANG (not error) when a tunnel-style TPU
+    # backend is down; probe it on a timeout so the CLI degrades to the
+    # native host codec instead of hanging
+    import threading
 
-        has_tpu = jax.default_backend() != "cpu"
-    except Exception:
-        has_tpu = False
+    found: list = []
+
+    def _probe():
+        try:
+            import jax
+
+            found.append(jax.default_backend() != "cpu")
+        except Exception:
+            found.append(False)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=60)
+    has_tpu = bool(found and found[0])
+    if th.is_alive() and verbosity >= 1:
+        print("warning: TPU backend probe timed out; using the native "
+              "host codec", file=sys.stderr)
 
     if not has_tpu:
         from . import native
 
         if native.available():
             encode = not (args.decode or args.test)
-            if encode and not args.ratio and verbosity >= 2:
-                print("note: native host path emits ratio-mode (v1) frames",
-                      file=sys.stderr)
-            if encode and args.table_log and args.table_log != RANS_TABLELOG_DEFAULT:
-                print(f"warning: -M {args.table_log} is not supported by the "
-                      f"native host path; emitting tableLog "
-                      f"{RANS_TABLELOG_DEFAULT} frames", file=sys.stderr)
+            if encode and args.ratio and args.table_log and \
+                    args.table_log != RANS_TABLELOG_DEFAULT:
+                print(f"warning: ratio-mode native frames are tableLog "
+                      f"{RANS_TABLELOG_DEFAULT}; ignoring -M "
+                      f"{args.table_log}", file=sys.stderr)
             return _turbo_native_main(args, verbosity)
 
     from .turbo.api import turbo_compress_device, turbo_decompress_device
@@ -295,7 +309,8 @@ def _turbo_main(args, verbosity: int) -> int:
 
 
 def _turbo_native_main(args, verbosity: int) -> int:
-    from .native import rans_compress_native, rans_decompress_native
+    from .native import (rans_compress2_native, rans_compress_native,
+                         rans_decompress_native)
 
     decode = args.decode or args.test or args.input.endswith(TURBO_EXTENSION)
     data = _read_input(args.input)
@@ -315,7 +330,13 @@ def _turbo_native_main(args, verbosity: int) -> int:
         dst = _default_out(args, False, TURBO_EXTENSION)
         if _refuse_overwrite(dst, args.force):
             return 1
-        blob = rans_compress_native(data, group_size=_parse_bsize(args.group))
+        if args.ratio:   # v1 frames: no section, tableLog 11
+            blob = rans_compress_native(data,
+                                        group_size=_parse_bsize(args.group))
+        else:            # speed frames (FLAG_STEPTOTS/ROWS4), -M honored
+            blob = rans_compress2_native(data,
+                                         group_size=_parse_bsize(args.group),
+                                         table_log=args.table_log or 0)
         _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)

@@ -204,3 +204,28 @@ def test_native_speed_mode_encoder_byte_identical_to_twin():
                                 steptots=True)
                   for i in range(0, len(d), 1 << 17))
     assert nb == tw
+
+
+def test_cli_native_speed_frames(tmp_path, monkeypatch):
+    """-T on a no-TPU host emits speed-mode (rows4) frames byte-identical
+    to the twin; --ratio emits sectionless v1; both decode."""
+    import jax
+
+    from finitestateentropy_tpu.cli import main
+    from finitestateentropy_tpu.turbo.rans import (FLAG_ROWS4,
+                                                   parse_rans_group,
+                                                   rans_compress)
+    from finitestateentropy_tpu.utils import generate_proba
+
+    data = generate_proba(80)[:200000]
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    sp, rt, out = (tmp_path / n for n in ("s.tfse", "r.tfse", "o.bin"))
+    assert main(["-T", "-f", str(src), str(sp)]) == 0
+    g, _ = parse_rans_group(sp.read_bytes())
+    assert g[3] & FLAG_ROWS4
+    assert sp.read_bytes() == rans_compress(data, steptots=True)
+    assert main(["-T", "--ratio", "-f", str(src), str(rt)]) == 0
+    assert parse_rans_group(rt.read_bytes())[0][3] == 0
+    assert main(["-T", "-d", "-f", str(sp), str(out)]) == 0
+    assert out.read_bytes() == data
