@@ -733,3 +733,41 @@ def test_turbo16_windows_dispatch_interpret():
     blob = turbo16_compress_device(d, interpret=True)
     out = turbo16_decompress_device(blob, interpret=True, windows=2)
     assert np.array_equal(out, d)
+
+
+def test_rans_decode_w_mixed_groups_interpret():
+    """A windowed batch of two DIFFERENT groups (different payload sizes,
+    different per-chunk window starts) decodes both correctly in one
+    nway=2 launch."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.format import TURBO_STEP_SYMS, _pad_n
+    from finitestateentropy_tpu.turbo.rans import parse_rans_group, rans_compress
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_rans_dtable, pack_stream_words, rans_decode_w, stream_word_rows)
+
+    datas = [generate_proba(80)[: 128 << 10],
+             generate_proba(2)[: 128 << 10]]   # near-raw: ~4x the stream
+    parsed = []
+    for d in datas:
+        g, _ = parse_rans_group(rans_compress(bytes(d), steptots=True))
+        parsed.append(g)
+    t4 = _pad_n(128 << 10) // TURBO_STEP_SYMS
+    cs_max = max(g[1] for g in parsed)
+    hrows = ((cs_max + 127) // 128 + 16 + 7) // 8 * 8
+    srows = stream_word_rows(hrows)
+    T = _pad_n(128 << 10) // 1024
+    G = 2
+    tlog = parsed[0][2]
+    assert parsed[1][2] == tlog
+    cs = np.array([g[1] for g in parsed], np.int32)
+    tbl = np.stack([pack_rans_dtable(g[4], tlog) for g in parsed])
+    init = np.stack([g[6].view(np.int32).reshape(8, 128) for g in parsed])
+    hws = np.stack([pack_stream_words(g[7], srows) for g in parsed])
+    tots = np.stack([g[8].astype(np.int32) for g in parsed])
+    out, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
+                             jnp.asarray(init), jnp.asarray(hws),
+                             jnp.asarray(tots), t4, hrows, 2, tlog, 32, True)
+    assert not np.asarray(err).any()
+    for j, d in enumerate(datas):
+        assert np.asarray(out)[j].astype("<i4").tobytes()[: len(d)] == d
