@@ -452,6 +452,63 @@ inline int64_t decode_step_avx2(uint32_t* x, const uint32_t* tbl, int tl,
   return cursor - base[kLanes / 8];
 }
 
+// u16 decode step: split gathers (fe = (f<<16)|j advance word, sym32 =
+// symbol plane) — the rest mirrors decode_step_avx2's two-pass shape
+inline int64_t decode_step16_avx2(uint32_t* x, const uint32_t* fe_tbl,
+                                  const uint32_t* sym_tbl, int tl,
+                                  const uint8_t* hw_s, int64_t csize,
+                                  int64_t cursor, uint16_t* syms) {
+  const __m256i slot_mask = _mm256_set1_epi32((1 << tl) - 1);
+  const __m256i low16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i czero = _mm256_setzero_si256();
+  const __m256i csz = _mm256_set1_epi32(int32_t(csize));
+  alignas(32) static thread_local uint8_t masks[kLanes / 8];
+  int base[kLanes / 8 + 1];
+  base[0] = 0;
+  for (int b = 0; b < kLanes / 8; ++b) {
+    __m256i xv = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i slot = _mm256_and_si256(xv, slot_mask);
+    __m256i sym = _mm256_i32gather_epi32((const int*)sym_tbl, slot, 4);
+    __m128i s16 = _mm_packus_epi32(_mm256_castsi256_si128(sym),
+                                   _mm256_extracti128_si256(sym, 1));
+    _mm_storeu_si128((__m128i*)(syms + 8 * b), s16);
+    __m256i fe = _mm256_i32gather_epi32((const int*)fe_tbl, slot, 4);
+    __m256i f = _mm256_srli_epi32(fe, 16);
+    __m256i j = _mm256_and_si256(fe, low16);
+    __m256i xn = _mm256_add_epi32(
+        _mm256_mullo_epi32(f, _mm256_srli_epi32(xv, tl)), j);
+    __m256i flag = _mm256_cmpeq_epi32(_mm256_srli_epi32(xn, 16), czero);
+    uint8_t m = uint8_t(_mm256_movemask_ps(_mm256_castsi256_ps(flag)));
+    masks[b] = m;
+    base[b + 1] = base[b] + __builtin_popcount(m);
+    _mm256_store_si256((__m256i*)(x + 8 * b), xn);
+  }
+  for (int b = 0; b < kLanes / 8; ++b) {
+    uint8_t m = masks[b];
+    if (!m) continue;
+    __m256i xn = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i flag = _mm256_cmpeq_epi32(_mm256_srli_epi32(xn, 16), czero);
+    __m256i rank = _mm256_cvtepu8_epi32(
+        _mm_loadl_epi64((const __m128i*)g_prefix.t[m]));
+    __m256i pos = _mm256_sub_epi32(
+        _mm256_set1_epi32(int32_t(cursor - base[b])), rank);
+    __m256i oob = _mm256_or_si256(
+        _mm256_cmpgt_epi32(czero, pos),
+        _mm256_xor_si256(_mm256_cmpgt_epi32(csz, pos),
+                         _mm256_set1_epi32(-1)));
+    __m256i posc = _mm256_max_epi32(
+        _mm256_min_epi32(pos, _mm256_sub_epi32(csz, _mm256_set1_epi32(1))),
+        czero);
+    __m256i v = _mm256_i32gather_epi32((const int*)hw_s, posc, 2);
+    v = _mm256_andnot_si256(oob, _mm256_and_si256(v, low16));
+    _mm256_store_si256(
+        (__m256i*)(x + 8 * b),
+        _mm256_blendv_epi8(
+            xn, _mm256_or_si256(_mm256_slli_epi32(xn, 16), v), flag));
+  }
+  return cursor - base[kLanes / 8];
+}
+
 // One encode step over all 1024 lanes.  words: the supercycle's 1024 src
 // u32 words; p: byte position within the word.  Emits flagged lanes'
 // halfwords in DESCENDING lane order at hw[pos...]; returns new pos.
@@ -1350,6 +1407,47 @@ int64_t tfse_rans16_decompress_group(const uint8_t* blob, uint64_t len,
   int64_t cursor = h.csize_hw;
   uint16_t* d16 = reinterpret_cast<uint16_t*>(dst);
   uint64_t full_t = h.n_sym / kStepSyms16 * 2;  // steps with no dst guard
+
+#if defined(__AVX2__)
+  {
+    // split AVX2 tables: fe = (f<<16) | (slot-cumul), sym plane as u32
+    static thread_local uint32_t fe_tbl[1 << 13];
+    static thread_local uint32_t sym32[1 << 13];
+    for (int slot = 0; slot < (1 << tl); ++slot) {
+      fe_tbl[slot] = (uint32_t(t_f[slot]) << 16) | t_j[slot];
+      sym32[slot] = t_sym[slot];
+    }
+    static thread_local std::vector<uint8_t> hw_scratch;
+    hw_scratch.resize(size_t(2 * h.csize_hw + 32));
+    std::memcpy(hw_scratch.data(), hw, size_t(2 * h.csize_hw));
+    alignas(32) static thread_local uint16_t symbuf[2][kLanes];
+    for (int t2 = 0; t2 < T / 2; ++t2) {
+      for (int p = 0; p < 2; ++p)
+        cursor = decode_step16_avx2(x, fe_tbl, sym32, tl, hw_scratch.data(),
+                                    int64_t(h.csize_hw), cursor, symbuf[p]);
+      uint16_t* base = d16 + uint64_t(t2) * kStepSyms16;
+      if (uint64_t(t2 + 1) * kStepSyms16 <= h.n_sym) {
+        uint32_t* ob = reinterpret_cast<uint32_t*>(base);
+        const uint16_t *s0 = symbuf[0], *s1 = symbuf[1];
+        for (int k = 0; k < kLanes; ++k) {
+          uint32_t wv = uint32_t(s0[k]) | (uint32_t(s1[k]) << 16);
+          std::memcpy(ob + k, &wv, 4);
+        }
+      } else {
+        for (int p = 0; p < 2; ++p)
+          for (int k = 0; k < kLanes; ++k) {
+            int64_t i = int64_t(t2) * kStepSyms16 + 2 * k + p;
+            if (uint64_t(i) < h.n_sym) d16[i] = symbuf[p][k];
+          }
+      }
+    }
+    if (cursor != 0) return -5;
+    for (int k = 0; k < kLanes; ++k)
+      if (x[k] != kL) return -5;
+    *consumed = pos;
+    return h.n_sym;
+  }
+#endif
 
   for (int t = 0; t < T; ++t) {
     for (int k = 0; k < kLanes; ++k) {
