@@ -87,19 +87,26 @@ def test_cli_refuses_overwrite_without_force(tmp_path):
     assert dst.read_bytes() != b"existing"
 
 
-def test_cli_turbo_table_log_warns_on_native_fallback(tmp_path, capsys):
-    """ADVICE r1: -M != 11 must warn when the native host path ignores it."""
+def test_cli_turbo_table_log_on_native_path(tmp_path, capsys):
+    """r3: the native host path HONORS -M for speed frames (tableLog lands
+    on the wire); ratio mode still warns that -M is ignored (v1 frames are
+    tableLog 11)."""
     src = tmp_path / "in.bin"
     src.write_bytes(b"abcdabcdaabb" * 4096)
     from finitestateentropy_tpu import native
     from finitestateentropy_tpu.cli import main
+    from finitestateentropy_tpu.turbo.rans import parse_rans_group
 
     if not native.available():
         pytest.skip("native library unavailable")
     assert main(["-T", "-M", "9", "-f", str(src),
                  str(tmp_path / "x.tfse")]) == 0
+    g, _ = parse_rans_group((tmp_path / "x.tfse").read_bytes())
+    assert g[2] == 9  # wire tableLog honors -M on the native speed path
+    assert main(["-T", "--ratio", "-M", "9", "-f", str(src),
+                 str(tmp_path / "y.tfse")]) == 0
     err = capsys.readouterr().err
-    assert "-M 9" in err and "tableLog" in err
+    assert "-M 9" in err or "ignoring -M" in err
 
 
 def test_cli_bench_mode_parity(tmp_path, capsys):
