@@ -1167,6 +1167,65 @@ int64_t tfse_rans_decompress(const uint8_t* blob, uint64_t len, uint8_t* dst,
 // little-endian u16 symbol array (dst sized in symbols).
 // ---------------------------------------------------------------------------
 
+#if defined(__AVX2__)
+// u16 encode step over all 1024 lanes: u16 half p of the supercycle's
+// 1024 src words; fc packing (cumul << 14) | freq covers tableLog <= 13
+inline uint64_t encode_step16_avx2(uint32_t* x, const uint32_t* fc_tbl,
+                                   const uint32_t* magic_tbl, int tl,
+                                   const uint32_t* words, int p,
+                                   uint16_t* hw, uint64_t pos,
+                                   uint64_t hw_cap, bool* overflow) {
+  alignas(32) static thread_local uint16_t stage[kLanes];
+  static thread_local uint8_t cnt[kLanes / 8];
+  const __m256i symmask = _mm256_set1_epi32(0xFFFF);
+  const __m256i fmask = _mm256_set1_epi32(0x3FFF);
+  int shift = 16 * p;
+  uint64_t total = 0;
+  for (int b = 0; b < kLanes / 8; ++b) {
+    __m256i wv = _mm256_loadu_si256((const __m256i*)(words + 8 * b));
+    __m256i sym = _mm256_and_si256(_mm256_srli_epi32(wv, shift), symmask);
+    __m256i fce = _mm256_i32gather_epi32((const int*)fc_tbl, sym, 4);
+    __m256i mg = _mm256_i32gather_epi32((const int*)magic_tbl, sym, 4);
+    __m256i f = _mm256_and_si256(fce, fmask);
+    __m256i c = _mm256_srli_epi32(fce, 14);
+    __m256i xv = _mm256_load_si256((const __m256i*)(x + 8 * b));
+    __m256i flag = cmpge_epu32(xv, _mm256_slli_epi32(f, 32 - tl));
+    uint8_t m = uint8_t(_mm256_movemask_ps(_mm256_castsi256_ps(flag)));
+    __m128i e16 = _mm_packus_epi32(
+        _mm_and_si128(_mm256_castsi256_si128(xv), _mm_set1_epi32(0xFFFF)),
+        _mm_and_si128(_mm256_extracti128_si256(xv, 1),
+                      _mm_set1_epi32(0xFFFF)));
+    _mm_storeu_si128(
+        (__m128i*)(stage + 8 * b),
+        _mm_shuffle_epi8(e16, _mm_load_si128((const __m128i*)g_compact.t[m])));
+    cnt[b] = uint8_t(__builtin_popcount(m));
+    total += cnt[b];
+    xv = _mm256_blendv_epi8(xv, _mm256_srli_epi32(xv, 16), flag);
+    __m256i q = mulhi_epu32(xv, mg);
+    __m256i r = _mm256_sub_epi32(xv, _mm256_mullo_epi32(q, f));
+    __m256i big = cmpge_epu32(r, f);
+    q = _mm256_sub_epi32(q, big);
+    r = _mm256_sub_epi32(r, _mm256_and_si256(big, f));
+    big = cmpge_epu32(r, f);
+    q = _mm256_sub_epi32(q, big);
+    r = _mm256_sub_epi32(r, _mm256_and_si256(big, f));
+    _mm256_store_si256(
+        (__m256i*)(x + 8 * b),
+        _mm256_add_epi32(_mm256_add_epi32(_mm256_slli_epi32(q, tl), c), r));
+  }
+  if (pos + total + 8 > hw_cap) {
+    *overflow = true;
+    return pos;
+  }
+  for (int b = kLanes / 8 - 1; b >= 0; --b) {
+    _mm_storeu_si128((__m128i*)(hw + pos),
+                     _mm_load_si128((const __m128i*)(stage + 8 * b)));
+    pos += cnt[b];
+  }
+  return pos;
+}
+#endif  // __AVX2__
+
 // u16 optimal tableLog (refimpl/norm.py fse_optimal_table_log, minus=2,
 // max_allowed 13) — picks the twin's exact tlog so frames stay identical
 static int optimal_table_log16(int req, uint64_t n, int max_sv) {
@@ -1250,8 +1309,25 @@ int64_t tfse_rans16_compress_group(const uint8_t* src, uint64_t n,
     alignas(32) static thread_local uint32_t x[kLanes];
     for (int k = 0; k < kLanes; ++k) x[k] = kL;
 
+#if defined(__AVX2__)
+    // packed fc for the vector path: (cumul << 14) | freq (tlog <= 13)
+    static thread_local uint32_t fc16_tbl[4096];
+    for (int ssym = 0; ssym <= max_sv; ++ssym)
+      fc16_tbl[ssym] = (cumul[ssym] << 14) | freq[ssym];
+#endif
     int shift = 32 - tl;
     for (int t = T - 1; t >= 0; --t) {
+#if defined(__AVX2__)
+      if (uint64_t(t >> 1) * kStepSyms16 + kStepSyms16 <= n) {
+        const uint32_t* wbase =
+            reinterpret_cast<const uint32_t*>(sp) + uint64_t(t >> 1) * kLanes;
+        bool overflow = false;
+        hw_pos = encode_step16_avx2(x, fc16_tbl, magic, tl, wbase, t & 1,
+                                    hw, hw_pos, hw_cap, &overflow);
+        if (overflow) goto raw16;
+        continue;
+      }
+#endif
       for (int k = kLanes - 1; k >= 0; --k) {
         // symbol i = (t>>1)*2048 + 2*k + (t&1)
         int64_t i = int64_t(t >> 1) * kStepSyms16 + 2 * k + (t & 1);
