@@ -295,6 +295,20 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
     log(f"u16dist: encode {enc:6.3f} GB/s  decode {dec:6.3f} GB/s  "
         f"ratio {nbytes/len(blob):.2f}")
 
+    # host-native u16 codec (r3): same wire, no TPU required
+    from finitestateentropy_tpu import native
+
+    if native.available():
+        t0 = time.perf_counter()
+        nblob = native.rans16_compress_native(d)
+        t_e = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out16 = native.rans16_decompress_native(nblob)
+        t_d = time.perf_counter() - t0
+        assert np.array_equal(out16, d)
+        log(f"u16dist: host-native enc {nbytes/t_e/1e6:.0f} MB/s "
+            f"dec {nbytes/t_d/1e6:.0f} MB/s (1 box)")
+
 
 def bench_mixed(g_small: int, g_big: int):
     """BASELINE config 5: mixed corpus with per-group auto coding (rANS /
