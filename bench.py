@@ -384,7 +384,14 @@ def bench_mixed(g_small: int, g_big: int):
         t_dec = time.perf_counter() - t0
         assert out == data
         log(f"mixed  : host-native end-to-end enc {len(data)/t_enc/1e6:.0f} "
-            f"MB/s dec {len(data)/t_dec/1e6:.0f} MB/s (1 core)")
+            f"MB/s dec {len(data)/t_dec/1e6:.0f} MB/s (1 core, ratio mode)")
+        t0 = time.perf_counter()
+        nblob2 = native.rans_compress2_native(data, group_size=1 << 20)
+        t_enc2 = time.perf_counter() - t0
+        assert native.rans_decompress_native(nblob2) == data
+        log(f"mixed  : host-native speed-mode enc {len(data)/t_enc2/1e6:.0f} "
+            f"MB/s ratio {len(data)/len(nblob2):.2f} (frames the device "
+            f"kernels decode at full speed)")
     return dev_dec / 1e9
 
 
