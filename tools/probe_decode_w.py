@@ -137,6 +137,9 @@ VARIANTS = {
     "w14s32": (14, 32, 1, 80),
     "w10s64g4": (10, 64, 4, 80),
     "w12s32p02": (12, 32, 1, 2),
+    "w8s32g4": (8, 32, 4, 80),
+    "w10s32g4": (10, 32, 4, 80),
+    "w10s32g2": (10, 32, 2, 80),
     "base1p14": (1, 0, 1, 14),
     "w10s32p14": (10, 32, 1, 14),
     # totals-wire variants (5th element): in-kernel 2-matmul rank
