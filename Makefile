@@ -3,15 +3,25 @@
 
 PY ?= python
 
-.PHONY: all test fuzz bench fullbench oracle native check clean
+.PHONY: all test fuzz deepfuzz smoke bench fullbench oracle native check clean
 
 all: native oracle
 
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -m "not slow"
 
 fuzz:
-	$(PY) -m pytest tests/test_fuzz.py -q
+	$(PY) -m pytest tests/test_fuzz.py -q -m "not slow"
+
+# reference-scale randomized fuzzing (fuzzer.c:54 default 128K iterations);
+# nightly CI job — FSE_TPU_FUZZ_ITERS scales every randomized suite
+deepfuzz:
+	FSE_TPU_FUZZ_ITERS=$(or $(ITERS),10000) \
+	  $(PY) -m pytest tests/test_fuzz.py tests/test_deep_fuzz.py -q
+
+# CI gate: every bench.py section end-to-end on the CPU backend
+smoke:
+	$(PY) bench.py --smoke
 
 bench:
 	$(PY) bench.py

@@ -7,8 +7,13 @@ reference README.md:33).  Secondary metrics (encode GB/s, ratios, compat
 byte-exactness) go to stderr.
 
 Timing note: this backend's block_until_ready does not block and every
-host sync carries a fixed ~25-30 ms tunnel cost, so throughput is computed
-from the SLOPE between two batch sizes (fixed overhead cancels).
+host sync carries a fixed ~25-35 ms tunnel cost.  r3 measured the slope
+between two batch sizes; that leaves a 2-8 ms signal under ~±3 ms noise
+(the same kernel read 15-46 GB/s across runs).  r4 switched to the
+queue-k methodology (tools/probe_timing.py): dispatch k async kernel
+calls, sync ONCE on the last result — t(k) = fixed + k*t_kernel, so the
+rate from (t(k2)-t(k1))/(k2-k1) amortizes the fixed cost over k2-k1
+kernel executions and repeats to ±1.3%.
 """
 from __future__ import annotations
 
@@ -23,6 +28,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 REF_GBPS = {"fse_dec": 0.440, "fse_enc": 0.325, "huf_dec": 1.350, "huf_enc": 0.600}
+
+# --smoke: run every section at tiny sizes in Pallas interpret mode on the
+# CPU backend, re-raising section errors instead of logging them — the CI
+# gate that keeps a broken section from shipping silently (r3 shipped two)
+INTERP = False
+STRICT = False
 
 
 def log(*a):
@@ -61,122 +72,131 @@ def _time(fn, sync, iters=3):
     return min(best)
 
 
-def bench_rans(group_bytes: int, g_small: int, g_big: int, proba: int,
-               n_slopes: int = 2, wdec: int = 0):
-    """Returns (decode_slopes list, enc_gbps, ratio).
+def _rate_b(dispatch, bytes_per_call, k1=2, k2=10, reps=3):
+    """Queue-k methodology: GB/s from k async dispatches synced once.
+    dispatch() must return an UNsynced device value; returns (gbps, ts)."""
+    if STRICT:  # smoke mode: numbers are meaningless, execute each path once
+        k1, k2, reps = 1, 2, 1
+    ts = {}
+    for k in (k1, k2):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(k):
+                last = dispatch()
+            np.asarray(last)
+            best = min(best, time.perf_counter() - t0)
+        ts[k] = best
+    dt = ts[k2] - ts[k1]
+    if dt <= 0:
+        return 0.0, (ts[k1], ts[k2])
+    return (k2 - k1) * bytes_per_call / dt / 1e9, (ts[k1], ts[k2])
 
-    VERDICT r2 #4: a single slope can catch a lucky (or inverted) pair of
-    timings on this tunnel, so the decode throughput is measured as
-    n_slopes independent slope samples; the caller reports the median with
-    min/max spread.  Inverted slopes (big batch timed faster than small —
-    pure tunnel variance) are discarded."""
+
+def bench_rans(group_bytes: int, G: int, proba: int,
+               n_slopes: int = 3, wdec: int = 0):
+    """Returns (decode rate samples, enc_gbps, ratio).
+
+    Rates use the queue-k methodology (_rate_b) on a single batch of G
+    groups; n_slopes independent samples are taken and the caller reports
+    the median with min/max spread.  The decode kernel is the DEFAULT
+    dispatch (turbo/api._window_dispatch) unless wdec forces an interleave
+    — the headline is the production path, not a hand-picked kernel."""
+    import jax.numpy as jnp
+
+    from finitestateentropy_tpu.turbo.api import _window_dispatch
+    from finitestateentropy_tpu.turbo.rans_kernels import (
+        pack_stream_words, rans_decode_v2, rans_decode_w, rans_encode2,
+        stream_word_rows)
+
+    # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG);
+    # rans_encode2 rowloc (packed out words) IS the production encode path
+    p = _prep(group_bytes, proba)
+    fc, mg = p["fc_mg"]
+    t4, hcap, tlog = p["t4"], p["hcap"], p["tlog"]
+
+    ea = (jnp.asarray(np.broadcast_to(fc, (G, 2, 128)).copy()),
+          jnp.asarray(np.broadcast_to(mg, (G, 2, 128)).copy()),
+          jnp.asarray(np.broadcast_to(p["srcw"], (G, t4 * 8, 128)).copy()))
+
+    # --- encode (and produce the stream for decode)
+    enc_fn = lambda: rans_encode2(*ea, t4, hcap, INTERP, False, tlog, True,
+                                  0, True)
+    stream, fin, csize, stots = enc_fn()  # compile+warm
+    cs = int(np.asarray(csize)[0])
+    payload = np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs]
+    fin0 = np.asarray(fin)[0]
+    stots0 = np.asarray(stots)[0]
+    enc_gbps, ets = _rate_b(lambda: enc_fn()[2], G * group_bytes)
+    # default wire: rows section (nibble-packed FLAG_ROWS4 when smaller)
+    # + 4 KiB init states + header/ncount
+    from finitestateentropy_tpu.turbo.rans import _pack_rows4
+    packed = _pack_rows4(stots0.astype(np.uint8))
+    sect_len = len(packed) if packed is not None else t4 * 32
+    ratio = group_bytes / (cs * 2 + 4096 + sect_len + 64)
+    log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
+        f"(t_k1 {ets[0]*1e3:.1f} ms, t_k2 {ets[1]*1e3:.1f} ms)")
+
+    # --- decode: stage once, then n_slopes independent queue-k samples
+    hrows = p["round8"]((cs + 127) // 128 + 16)
+    srows = stream_word_rows(hrows)
+    tch = p["dtbl"].shape[0]
+    one = pack_stream_words(payload, srows)
+    da = (jnp.asarray(np.full(G, cs, np.int32)),
+          jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
+          jnp.asarray(np.broadcast_to(fin0.reshape(8, 128), (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(one, (G, srows, 128)).copy()),
+          jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()))
+    w_nway, w_s = (wdec, 32) if wdec else _window_dispatch(
+        0, t4, hrows, tlog, G, False)
+    if w_nway:
+        dec_fn = lambda: rans_decode_w(*da, t4, hrows, w_nway, tlog, w_s,
+                                       INTERP)
+        kern = f"windowed {w_nway}-way S={w_s}"
+    else:
+        dec_fn = lambda: rans_decode_v2(*da, t4, hrows, INTERP, tlog)
+        kern = "resident v2"
+    outw, err = dec_fn()
+    assert not np.asarray(err).any(), "decode error flags set"
+    ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
+    assert ob == p["data"], "decode mismatch"
+    slopes = []
+    for _ in range(n_slopes):
+        gbps, ts = _rate_b(lambda: dec_fn()[1], G * group_bytes)
+        if gbps > 0:
+            slopes.append(gbps)
+            log(f"proba{proba:02d}: decode {gbps:6.3f} GB/s  [{kern}]  "
+                f"(t_k1 {ts[0]*1e3:.1f} ms, t_k2 {ts[1]*1e3:.1f} ms)")
+        else:
+            log(f"proba{proba:02d}: decode sample non-positive, discarded "
+                f"(t_k1 {ts[0]*1e3:.1f} ms, t_k2 {ts[1]*1e3:.1f} ms)")
+    return slopes, enc_gbps, ratio
+
+
+def bench_group_sweep(sizes=((2, 16), (4, 8))):
+    """Ratio/speed frontier across group sizes (p80): bigger groups
+    amortize the 4 KiB init-state section (ratio up to 8.49 rows4 / 8.80
+    none at 4 MiB vs the reference single-stream 8.84), and the r4 default
+    dispatch keeps full decode speed there via the HBM-windowed kernel.
+    Both the resident and windowed kernels are timed (queue-k)."""
     import jax.numpy as jnp
 
     from finitestateentropy_tpu.turbo.rans_kernels import (
         pack_stream_words, rans_decode_v2, rans_decode_w, rans_encode2,
         stream_word_rows)
 
-    # production speed-mode default: tableLog 10 (RANS_SPEED_TABLELOG);
-    # rans_encode2 (packed out words) IS the production encode path.
-    # wdec > 0: decode via the HBM-windowed kernel at that interleave
-    # (nway decoupled from stream size; S=32)
-    p = _prep(group_bytes, proba)
-    fc, mg = p["fc_mg"]
-    t4, hcap, tlog = p["t4"], p["hcap"], p["tlog"]
-
-    def enc_args(G):
-        return (
-            jnp.asarray(np.broadcast_to(fc, (G, 2, 128)).copy()),
-            jnp.asarray(np.broadcast_to(mg, (G, 2, 128)).copy()),
-            jnp.asarray(np.broadcast_to(p["srcw"], (G, t4 * 8, 128)).copy()),
-        )
-
-    # --- encode (and produce the stream for decode)
-    times = {}
-    enc_out = {}
-    for G in (g_small, g_big):
-        a = enc_args(G)
-        stream, fin, csize, stots = rans_encode2(*a, t4, hcap, False, False,
-                                                 tlog)  # compile+warm
-        cs = int(np.asarray(csize)[0])
-        payload = np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs]
-        enc_out[G] = (payload, np.asarray(fin)[0], cs, np.asarray(stots)[0])
-        times[G] = _time(lambda a=a: rans_encode2(*a, t4, hcap, False, False,
-                                                  tlog)[2],
-                         lambda x: np.asarray(x))
-    enc_gbps = (g_big - g_small) * group_bytes / (times[g_big] - times[g_small]) / 1e9
-    payload, fin, cs, stots0 = enc_out[g_big]
-    # default wire: rows section (nibble-packed FLAG_ROWS4 when smaller)
-    # + 4 KiB init states + header/ncount
-    from finitestateentropy_tpu.turbo.rans import _pack_rows4
-    packed = _pack_rows4(np.asarray(stots0).astype(np.uint8))
-    sect_len = len(packed) if packed is not None else t4 * 32
-    ratio = group_bytes / (cs * 2 + 4096 + sect_len + 64)
-    log(f"proba{proba:02d}: encode {enc_gbps:6.3f} GB/s  ratio {ratio:.2f}  "
-        f"(t_small {times[g_small]*1e3:.1f} ms, t_big {times[g_big]*1e3:.1f} ms)")
-
-    # --- decode: device args staged once per batch size, then n_slopes
-    # independent (t_small, t_big) slope samples over the cached kernels
-    hrows = p["round8"]((cs + 127) // 128 + 16)
-    srows = stream_word_rows(hrows)
-    tch = p["dtbl"].shape[0]
-    one = pack_stream_words(payload, srows)
-    dargs = {}
-    for G in (g_small, g_big):
-        hws = np.broadcast_to(one, (G, srows, 128)).copy()
-        args = (
-            jnp.asarray(np.full(G, cs, np.int32)),
-            jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
-            jnp.asarray(np.broadcast_to(fin.reshape(8, 128), (G, 8, 128)).copy()),
-            jnp.asarray(hws),
-            jnp.asarray(np.broadcast_to(stots0, (G,) + stots0.shape).copy()),
-        )
-        dec_fn = (lambda a: rans_decode_w(*a, t4, hrows, wdec, tlog, 32)) \
-            if wdec else (lambda a: rans_decode_v2(*a, t4, hrows, False, tlog))
-        outw, err = dec_fn(args)
-        if G == g_small:
-            e = np.asarray(err)
-            assert not e.any(), "decode error flags set"
-            ob = np.asarray(outw)[0].astype("<i4").tobytes()[:group_bytes]
-            assert ob == p["data"], "decode mismatch"
-        dargs[G] = args
-    slopes = []
-    attempts = 0
-    while len(slopes) < n_slopes and attempts < n_slopes + 3:
-        attempts += 1
-        dt = {G: _time(lambda a=dargs[G]: dec_fn(a)[1],
-                       lambda x: np.asarray(x)) for G in (g_small, g_big)}
-        gbps = (g_big - g_small) * group_bytes / (dt[g_big] - dt[g_small]) / 1e9
-        if dt[g_big] > dt[g_small]:
-            slopes.append(gbps)
-            log(f"proba{proba:02d}: decode {gbps:6.3f} GB/s  "
-                f"(t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} ms)")
-        else:
-            log(f"proba{proba:02d}: decode slope INVERTED (tunnel variance; "
-                f"t_small {dt[g_small]*1e3:.1f} ms, t_big {dt[g_big]*1e3:.1f} "
-                f"ms) — discarded")
-    return slopes, enc_gbps, ratio
-
-
-def bench_group_sweep():
-    """Ratio/speed tradeoff across group sizes (p80): bigger groups
-    amortize the 4 KiB init-state section; the reference single-stream
-    ratio (8.84) is matched by the byte-exact compat layer, while the
-    1024-lane turbo format pays ~0.5% parallelism tax at 4 MiB."""
-    import jax.numpy as jnp
-
-    from finitestateentropy_tpu.turbo.rans_kernels import (
-        pack_stream_words, rans_decode_v2, rans_encode2, stream_word_rows)
-
-    for mb, g_small, g_big in ((2, 2, 8), (4, 2, 6)):
+    for mb, G in sizes:
+        nbytes = int(mb * (1 << 20))
         # ratio sweep runs reference-parity tables (tableLog 11)
-        p = _prep(mb << 20, 80, tlog=11)
+        p = _prep(nbytes, 80, tlog=11)
         fc, mg = p["fc_mg"]
         t4, hcap = p["t4"], p["hcap"]
-        a = (jnp.asarray(np.broadcast_to(fc, (g_big, 2, 128)).copy()),
-             jnp.asarray(np.broadcast_to(mg, (g_big, 2, 128)).copy()),
-             jnp.asarray(np.broadcast_to(p["srcw"], (g_big, t4 * 8, 128)).copy()))
-        stream, fin, csize, stots = rans_encode2(*a, t4, hcap)
+        a = (jnp.asarray(np.broadcast_to(fc, (G, 2, 128)).copy()),
+             jnp.asarray(np.broadcast_to(mg, (G, 2, 128)).copy()),
+             jnp.asarray(np.broadcast_to(p["srcw"], (G, t4 * 8, 128)).copy()))
+        stream, fin, csize, stots = rans_encode2(*a, t4, hcap, INTERP, False,
+                                                 11, True, 0, True)
         cs = int(np.asarray(csize)[0])
         from finitestateentropy_tpu.turbo.rans import _pack_rows4
         packed = _pack_rows4(np.asarray(stots)[0].astype(np.uint8))
@@ -189,58 +209,44 @@ def bench_group_sweep():
         one = pack_stream_words(
             np.ascontiguousarray(np.asarray(stream)[0]).tobytes()[: 2 * cs],
             srows)
-        totals0 = np.asarray(stots)[0].sum(axis=1).astype(np.int32)
-        dt = {}
-        for G in (g_small, g_big):
-            hws = np.broadcast_to(one, (G, srows, 128)).copy()
-            args = (jnp.asarray(np.full(G, cs, np.int32)),
-                    jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
-                    jnp.asarray(np.broadcast_to(
-                        np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
-                    jnp.asarray(hws),
-                    jnp.asarray(np.broadcast_to(totals0, (G,) + totals0.shape).copy()))
-            outw, err = rans_decode_v2(*args, t4, hrows)
-            if G == g_small:
-                assert not np.asarray(err).any()
-            dt[G] = _time(lambda a2=args: rans_decode_v2(*a2, t4, hrows)[1],
-                          lambda x: np.asarray(x))
-        dec = (g_big - g_small) * (mb << 20) / (dt[g_big] - dt[g_small]) / 1e9
-        log(f"p80 {mb}MiB groups: decode {dec:6.3f} GB/s (totals wire)  "
-            f"ratios rows4 {(mb << 20) / rows_bytes:.2f} / "
-            f"totals {(mb << 20) / totals_bytes:.2f} / "
-            f"none {(mb << 20) / ratio_bytes:.2f}")
+        stots_rows = np.asarray(stots)[0].astype(np.int32)
+        hws = np.broadcast_to(one, (G, srows, 128)).copy()
+        args = (jnp.asarray(np.full(G, cs, np.int32)),
+                jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+                jnp.asarray(np.broadcast_to(
+                    np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
+                jnp.asarray(hws),
+                jnp.asarray(np.broadcast_to(
+                    stots_rows, (G,) + stots_rows.shape).copy()))
+        outw, err = rans_decode_v2(*args, t4, hrows, INTERP, 11)
+        assert not np.asarray(err).any()
+        dec, _ = _rate_b(
+            lambda: rans_decode_v2(*args, t4, hrows, INTERP, 11)[1],
+            G * nbytes)
+        log(f"p80 {mb}MiB groups: decode {dec:6.3f} GB/s (resident v2)  "
+            f"ratios rows4 {nbytes / rows_bytes:.2f} / "
+            f"totals {nbytes / totals_bytes:.2f} / "
+            f"none {nbytes / ratio_bytes:.2f}")
 
-        # r3: HBM-windowed decode keeps the interleave width on multi-MiB
-        # groups, so the rows4 wire (ratio above) decodes at full speed
+        # r4 default at multi-MiB: HBM-windowed decode keeps the
+        # interleave width, so the rows4 ratio decodes at full speed
         try:
-            from finitestateentropy_tpu.turbo.rans_kernels import rans_decode_w
-
-            stots_rows = np.asarray(stots)[0].astype(np.int32)
-            dtw = {}
-            for G in (g_small, g_big):
-                hws = np.broadcast_to(one, (G, srows, 128)).copy()
-                wargs = (jnp.asarray(np.full(G, cs, np.int32)),
-                         jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
-                         jnp.asarray(np.broadcast_to(
-                             np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
-                         jnp.asarray(hws),
-                         jnp.asarray(np.broadcast_to(
-                             stots_rows, (G,) + stots_rows.shape).copy()))
-                outw, err = rans_decode_w(*wargs, t4, hrows, 7, 11, 64)
-                if G == g_small:
-                    assert not np.asarray(err).any()
-                dtw[G] = _time(lambda a2=wargs: rans_decode_w(*a2, t4, hrows,
-                                                              7, 11, 64)[1],
-                               lambda x: np.asarray(x))
-            decw = (g_big - g_small) * (mb << 20) / (dtw[g_big] - dtw[g_small]) / 1e9
-            log(f"p80 {mb}MiB groups: decode {decw:6.3f} GB/s (windowed, "
-                f"rows4 wire, 7-way)")
+            outw, err = rans_decode_w(*args, t4, hrows, 8, 11, 32, INTERP)
+            assert not np.asarray(err).any()
+            decw, _ = _rate_b(
+                lambda: rans_decode_w(*args, t4, hrows, 8, 11, 32,
+                                      INTERP)[1],
+                G * nbytes)
+            log(f"p80 {mb}MiB groups: decode {decw:6.3f} GB/s (windowed "
+                f"8-way — the r4 default dispatch here)")
         except Exception as e:
+            if STRICT:
+                raise
             log(f"p80 {mb}MiB windowed decode failed: {type(e).__name__}: "
                 f"{str(e)[:200]}")
 
 
-def bench_rans16(n_syms: int, g_small: int, g_big: int):
+def bench_rans16(n_syms: int, G: int):
     """FSE_U16-class workload (BASELINE config 4): log-bucketed distances."""
     import jax.numpy as jnp
 
@@ -266,32 +272,28 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
     srcw = pad.view("<u4").view(np.int32).reshape(t2 * 8, 128)
 
     nbytes = 2 * n_syms
-    times_e, times_d = {}, {}
-    for G in (g_small, g_big):
-        ea = (jnp.asarray(np.broadcast_to(fc, (G, 8, 128)).copy()),
-              jnp.asarray(np.broadcast_to(mg, (G, 8, 128)).copy()),
-              jnp.asarray(np.broadcast_to(srcw, (G, t2 * 8, 128)).copy()))
-        rans_encode(*ea, t2, hcap, False, True)
-        times_e[G] = _time(lambda a=ea: rans_encode(*a, t2, hcap, False, True)[2],
-                           lambda x: np.asarray(x))
-        hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
-        srows = stream_word_rows(hrows)
-        hws = np.broadcast_to(pack_stream_words(payload, srows),
-                              (G, srows, 128)).copy()
-        da = (jnp.asarray(np.full(G, cs, np.int32)),
-              jnp.asarray(np.broadcast_to(pack_rans16_dtable(norm), (G, 16, 128)).copy()),
-              jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),
-                                          (G, 8, 128)).copy()),
-              jnp.asarray(hws),
-              jnp.asarray(np.broadcast_to(stots.astype(np.int32),
-                                          (G,) + stots.shape).copy()))
-        outw, err = rans_decode_v2(*da, t2, hrows, False, 11, True)
-        assert not np.asarray(err).any()
-        times_d[G] = _time(
-            lambda a=da, h=hrows: rans_decode_v2(*a, t2, h, False, 11, True)[1],
-            lambda x: np.asarray(x))
-    enc = (g_big - g_small) * nbytes / (times_e[g_big] - times_e[g_small]) / 1e9
-    dec = (g_big - g_small) * nbytes / (times_d[g_big] - times_d[g_small]) / 1e9
+    ea = (jnp.asarray(np.broadcast_to(fc, (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(mg, (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(srcw, (G, t2 * 8, 128)).copy()))
+    rans_encode(*ea, t2, hcap, INTERP, True)
+    enc, _ = _rate_b(lambda: rans_encode(*ea, t2, hcap, INTERP, True)[2],
+                     G * nbytes)
+    hrows = ((cs + 127) // 128 + 16 + 7) // 8 * 8
+    srows = stream_word_rows(hrows)
+    hws = np.broadcast_to(pack_stream_words(payload, srows),
+                          (G, srows, 128)).copy()
+    da = (jnp.asarray(np.full(G, cs, np.int32)),
+          jnp.asarray(np.broadcast_to(pack_rans16_dtable(norm), (G, 16, 128)).copy()),
+          jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),
+                                      (G, 8, 128)).copy()),
+          jnp.asarray(hws),
+          jnp.asarray(np.broadcast_to(stots.astype(np.int32),
+                                      (G,) + stots.shape).copy()))
+    outw, err = rans_decode_v2(*da, t2, hrows, INTERP, 11, True)
+    assert not np.asarray(err).any()
+    dec, _ = _rate_b(lambda: rans_decode_v2(*da, t2, hrows, INTERP, 11,
+                                            True)[1],
+                     G * nbytes)
     log(f"u16dist: encode {enc:6.3f} GB/s  decode {dec:6.3f} GB/s  "
         f"ratio {nbytes/len(blob):.2f}")
 
@@ -310,7 +312,7 @@ def bench_rans16(n_syms: int, g_small: int, g_big: int):
             f"dec {nbytes/t_d/1e6:.0f} MB/s (1 box)")
 
 
-def bench_mixed(g_small: int, g_big: int):
+def bench_mixed(section: int = 1 << 20, n_parts: int = 16):
     """BASELINE config 5: mixed corpus with per-group auto coding (rANS /
     RLE / raw fallbacks chosen per group, fileio.c:347-404 analogue)."""
     import time
@@ -323,17 +325,16 @@ def bench_mixed(g_small: int, g_big: int):
     # section == group size so each group is a pure kind and the per-group
     # RLE/raw fallbacks actually trigger (256 KiB sections inside 1 MiB
     # groups made every group a 4-kind blend that always coded)
-    section = 1 << 20
     parts = []
     base80, base14 = generate_proba(80), generate_proba(14)
-    for i in range(16):
+    for i in range(n_parts):
         k = i % 4
         if k == 0:
             base = base80[(i * 7919) % 4096 :]
-            parts.append((base * 3)[:section])
+            parts.append((base * ((section // len(base)) + 2))[:section])
         elif k == 1:
             base = base14[(i * 104729) % 4096 :]
-            parts.append((base * 3)[:section])
+            parts.append((base * ((section // len(base)) + 2))[:section])
         elif k == 2:
             parts.append(bytes(rng.integers(0, 256, section, dtype=np.uint8)))
         else:
@@ -341,8 +342,9 @@ def bench_mixed(g_small: int, g_big: int):
     data = b"".join(parts)
 
     # correctness of per-group auto-coding through the device kernels
-    blob = turbo_compress_device(data[: 4 << 20], group_size=1 << 20)
-    assert turbo_decompress_device(blob) == data[: 4 << 20]
+    head = data[: 4 * section]
+    blob = turbo_compress_device(head, group_size=section, interpret=INTERP)
+    assert turbo_decompress_device(blob, interpret=INTERP) == head
 
     # device-path END-TO-END (parse + threaded table/payload staging +
     # kernels + assembly), slope-measured across two corpus sizes so the
@@ -351,10 +353,10 @@ def bench_mixed(g_small: int, g_big: int):
     def e2e(mult):
         d = data * mult
         t0 = time.perf_counter()
-        b = turbo_compress_device(d, group_size=1 << 20)
+        b = turbo_compress_device(d, group_size=section, interpret=INTERP)
         t_enc = time.perf_counter() - t0
         t0 = time.perf_counter()
-        o = turbo_decompress_device(b)
+        o = turbo_decompress_device(b, interpret=INTERP)
         t_dec = time.perf_counter() - t0
         assert o == d
         return len(d), t_enc, t_dec, len(b)
@@ -395,7 +397,7 @@ def bench_mixed(g_small: int, g_big: int):
     return dev_dec / 1e9
 
 
-def bench_resident(mib_small: int, mib_big: int):
+def bench_resident(G: int, group: int = 1 << 20):
     """Device-resident end-to-end (VERDICT r2 #1): the payload NEVER
     crosses the host link — compress is one fused jit (device histogram ->
     on-device normalization -> tables -> encode) and the roundtrip keeps
@@ -411,33 +413,31 @@ def bench_resident(mib_small: int, mib_big: int):
     from finitestateentropy_tpu.turbo.rans import RANS_SPEED_TABLELOG
     from finitestateentropy_tpu.utils import generate_proba
 
-    group = 1 << 20
     tlog = RANS_SPEED_TABLELOG
     n_pad = _pad_n(group)
-    base = np.frombuffer(generate_proba(80)[:group], np.uint8)
+    # generate_proba returns 1 MiB - 1 bytes (probaGenerator.c:95-126);
+    # tile to the group size exactly like _prep (r3 bench crashed here
+    # broadcasting a 1048575-byte buffer to (G, 1048576))
+    raw = generate_proba(80)
+    base = np.frombuffer((raw * ((group // len(raw)) + 1))[:group], np.uint8)
 
-    tc, tr = {}, {}
-    for G in (mib_small, mib_big):
-        xp = jnp.asarray(np.broadcast_to(base, (G, group)).copy())
-        lens = jnp.full((G,), group, jnp.int32)
-        flat = xp.reshape(G * group)
-        # warm both compiles, verify the roundtrip
-        _resident_compress_jit(xp, lens, n_pad, tlog, True, False)
-        ok, cs = _resident_roundtrip_jit(flat, group, tlog, False)
-        assert bool(np.asarray(ok)), "resident roundtrip failed verification"
-        tc[G] = _time(
-            lambda a=xp, l=lens: _resident_compress_jit(a, l, n_pad, tlog,
-                                                        True, False)[2],
-            lambda x: np.asarray(x))
-        tr[G] = _time(
-            lambda f=flat: _resident_roundtrip_jit(f, group, tlog, False)[1],
-            lambda x: np.asarray(x))
-    d = (mib_big - mib_small) << 20
-    enc = d / (tc[mib_big] - tc[mib_small]) / 1e9
-    rt = d / (tr[mib_big] - tr[mib_small]) / 1e9
+    xp = jnp.asarray(np.broadcast_to(base, (G, group)).copy())
+    lens = jnp.full((G,), group, jnp.int32)
+    flat = xp.reshape(G * group)
+    # warm both compiles, verify the roundtrip
+    _resident_compress_jit(xp, lens, n_pad, tlog, True, INTERP)
+    ok, cs = _resident_roundtrip_jit(flat, group, tlog, INTERP)
+    assert bool(np.asarray(ok)), "resident roundtrip failed verification"
+    enc, _ = _rate_b(
+        lambda: _resident_compress_jit(xp, lens, n_pad, tlog, True,
+                                       INTERP)[2],
+        G * group)
+    rt, ts = _rate_b(
+        lambda: _resident_roundtrip_jit(flat, group, tlog, INTERP)[1],
+        G * group)
     log(f"resident: fused compress {enc:6.3f} GB/s  "
         f"roundtrip (enc+dec, payload never leaves HBM) {rt:6.3f} GB/s  "
-        f"(t_small {tr[mib_small]*1e3:.1f} ms, t_big {tr[mib_big]*1e3:.1f} ms)")
+        f"(t_k1 {ts[0]*1e3:.1f} ms, t_k2 {ts[1]*1e3:.1f} ms)")
     return enc, rt
 
 
@@ -464,17 +464,35 @@ def compat_check():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--group", type=int, default=1 << 20)
-    ap.add_argument("--gsmall", type=int, default=32)
-    ap.add_argument("--gbig", type=int, default=160)
+    ap.add_argument("--G", type=int, default=56,
+                    help="batch size (groups per kernel launch); 56 is a "
+                         "multiple of both the resident kernel's 7-way and "
+                         "the windowed kernel's 8-way interleave, so "
+                         "neither pads")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI gate: run EVERY section at tiny sizes in "
+                         "Pallas interpret mode on the CPU backend, "
+                         "re-raising section errors (numbers meaningless)")
     ap.add_argument("--wdec", type=int, default=0,
                     help="headline decode via the HBM-windowed kernel at "
                          "this interleave width (0 = resident v2)")
     ap.add_argument("--slopes", type=int, default=5,
-                    help="independent headline slope samples; the reported "
-                         "value is their MEDIAN with min/max spread (chip "
-                         "throughput varies ~20% run to run)")
+                    help="independent headline queue-k rate samples; the "
+                         "reported value is their MEDIAN with min/max "
+                         "spread")
     args = ap.parse_args()
+
+    global INTERP, STRICT
+    if args.smoke:
+        # CPU backend + interpret-mode kernels: exercises every section's
+        # host code end-to-end without TPU hardware (r3 shipped a broken
+        # resident section and a group-sweep OOM that a smoke run would
+        # have caught; numbers produced here are meaningless)
+        import os
+
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        INTERP = STRICT = True
 
     # the axon tunnel hangs (rather than erroring) when its backend is
     # down; probe device discovery with a generous timeout so a dead
@@ -482,6 +500,11 @@ def main():
     import threading
 
     import jax
+
+    if args.smoke:
+        # the axon site plugin force-sets jax_platforms in config (beats
+        # the env var), so override it the way tests/conftest.py does
+        jax.config.update("jax_platforms", "cpu")
 
     devs: list = []
     probe_err: list = []
@@ -508,28 +531,37 @@ def main():
     log(f"devices: {devs}")
 
     if args.quick:
-        args.gsmall, args.gbig = 8, 32
-        args.slopes = 2
+        args.G, args.slopes = 16, 2
+    if args.smoke:
+        args.group, args.G, args.slopes = 1 << 16, 2, 1
 
     res_enc = res_rt = None
-    slopes, enc, ratio = bench_rans(args.group, args.gsmall, args.gbig, 80,
+    slopes, enc, ratio = bench_rans(args.group, args.G, 80,
                                     n_slopes=args.slopes, wdec=args.wdec)
     if not slopes:
         slopes = [0.0]
     dec = float(np.median(slopes))
-    log(f"headline: median of {len(slopes)} slopes = {dec:.3f} GB/s "
-        f"(spread {min(slopes):.3f}..{max(slopes):.3f})")
-    if not args.quick:
-        # full batch sizes: the r2 kernels are fast enough that halved
-        # batches sink under the tunnel's timing noise
+    log(f"headline: median of {len(slopes)} queue-k samples = {dec:.3f} "
+        f"GB/s (spread {min(slopes):.3f}..{max(slopes):.3f})")
+    if args.smoke:
+        # every section, tiny sizes; sections raise on failure (STRICT)
+        bench_rans(1 << 16, 2, 2, n_slopes=1)
+        bench_rans16(1 << 12, 2)
+        bench_mixed(section=1 << 16, n_parts=8)
+        bench_group_sweep(sizes=((0.25, 2),))
+        res_enc, res_rt = bench_resident(2, group=1 << 16)
+        ok = compat_check()
+        assert ok is not False, "compat frames diverged from reference CLI"
+        log("smoke: every bench section executed")
+    elif not args.quick:
         for pb in (14, 2):
-            bench_rans(args.group, args.gsmall, args.gbig, pb)
+            bench_rans(args.group, args.G, pb, n_slopes=2)
         try:
-            bench_rans16(1 << 19, args.gsmall, args.gbig)
+            bench_rans16(1 << 19, args.G)
         except Exception as e:
             log("u16 bench failed:", e)
         try:
-            bench_mixed(args.gsmall // 2, args.gbig // 2)
+            bench_mixed()
         except Exception as e:
             log("mixed bench failed:", e)
         try:
@@ -537,7 +569,7 @@ def main():
         except Exception as e:
             log("group sweep failed:", e)
         try:
-            res_enc, res_rt = bench_resident(args.gsmall, args.gbig // 2)
+            res_enc, res_rt = bench_resident(args.G)
         except Exception as e:
             log("resident bench failed:", e)
         log("config map: FSE/Huff0 workload classes -> TurboRANS (see "
@@ -548,7 +580,7 @@ def main():
             log("compat check failed:", e)
 
     print(json.dumps({
-        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups, production speed wire, median of slope samples (enc/ratio stderr)",
+        "metric": "TurboRANS decode GB/s/chip, Proba80 1MiB groups, production speed wire + default kernel dispatch, median of queue-k rate samples (enc/ratio stderr)",
         "value": round(dec, 4),
         "unit": "GB/s",
         "vs_baseline": round(dec / REF_GBPS["fse_dec"], 3),

@@ -197,9 +197,11 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                     jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
                 stots = None
         else:
+            # rowloc=True: row-local pull placement, byte-identical wire,
+            # measured 1.78 vs 1.73 GB/s on v5e (probe_sweep_b.py, r4)
             stream, fin, csize, stots = rans_encode2(
                 jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t4, hcap,
-                interpret, False, table_log, steptots)
+                interpret, False, table_log, steptots, 0, True)
         stream = np.ascontiguousarray(np.asarray(stream))  # packed words
         fin = np.asarray(fin)
         csize = np.asarray(csize)
@@ -239,17 +241,51 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     return bytes(out)
 
 
+def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
+                     G: int, totals_only: bool, u16: bool = False,
+                     u16x: bool = False) -> tuple[int, int]:
+    """Kernel choice for a speed-wire decode batch: returns (nway, S) for
+    the HBM-windowed kernel (rans_decode_w), or (0, 0) for resident v2.
+
+    windows > 1 forces the windowed kernel at that interleave (when the
+    shape is eligible); windows == 1 forces resident v2; windows == 0 (the
+    default) picks by the measured cost model (probe_sweep_b.py, r4): the
+    windowed kernel's rate is ~width-independent (18.5-23.6 GB/s on v5e at
+    1-4 MiB groups, all corpora) while v2's collapses with its VMEM-picked
+    interleave nv (~18.5 * nv/7: 9.0 GB/s at 2 MiB, 3.3 at 4 MiB), and the
+    windowed kernel pads the batch to a multiple of its 8-way width — so
+    windowed wins iff 7*G > nv*pad8(G)."""
+    spc = 2 if u16 else 4
+    smin = 128 // spc
+    if t_count % smin:
+        return 0, 0          # group too small / misaligned for windows
+    S = 2 * smin if t_count % (2 * smin) == 0 else smin
+    if windows == 1:
+        return 0, 0
+    if windows > 1:
+        return windows, S
+    from .rans_kernels import v2_pick_nway
+
+    nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x)
+    if 7 * G > nv * ((G + 7) // 8 * 8):
+        return 8, S
+    return 0, 0
+
+
 def turbo_decompress_device(blob: bytes, interpret: bool = False,
                             mesh: int = 0, windows: int = 0) -> bytes:
     """Decompress a TurboRANS stream with the Pallas decode kernel.
 
     mesh > 1 shards group batches data-parallel (see turbo_compress_device).
-    windows = N routes rows-wire batches through the HBM-windowed kernel
-    (rans_decode_w) at an N-way interleave — the stream stays in HBM, so
-    the interleave width no longer depends on group/stream size (useful
-    for multi-MiB groups and near-raw streams whose resident nway
-    collapses).  Requires the rows wire and t4 % 64 == 0 (>= 256 KiB
-    groups); ineligible batches fall back to the resident kernels."""
+    windows picks the decode kernel for speed-wire batches: 0 (default)
+    auto-selects between the resident v2 kernel and the HBM-windowed
+    kernel (rans_decode_w) by the measured cost model in _window_dispatch
+    — the windowed kernel keeps its interleave width on multi-MiB groups
+    and near-raw streams whose resident nway collapses (6x at 4 MiB, 2.2x
+    on proba02); 1 forces resident v2; N > 1 forces the windowed kernel
+    at an N-way interleave.  Batches whose shapes are ineligible for
+    windows (group < 128 KiB) fall back to the resident kernels (logged
+    at debuglevel 2 when explicitly requested)."""
     import jax.numpy as jnp
 
     groups = []
@@ -336,18 +372,33 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                 outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
                                        jnp.asarray(initp), jnp.asarray(hwsp))
             err = np.asarray(err)[:G]
-        elif have_tots and windows > 1 and t4 % 64 == 0:
-            from .rans_kernels import rans_decode_w
-
-            outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
-                                      jnp.asarray(init), jnp.asarray(hws),
-                                      jnp.asarray(tots), t4, hrows,
-                                      windows, tlog, 64, interpret)
         elif have_tots:
-            outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
-                                       jnp.asarray(init), jnp.asarray(hws),
-                                       jnp.asarray(tots), t4, hrows,
-                                       interpret, tlog)
+            w_nway, w_s = _window_dispatch(windows, t4, hrows, tlog, G,
+                                           kind == 1)
+            if w_nway:
+                from .rans_kernels import rans_decode_w
+
+                debuglog(2, "turbo decode: windowed kernel nway=%d S=%d "
+                            "(windows=%d, t4=%d, G=%d)", w_nway, w_s,
+                         windows, t4, G)
+                outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
+                                          jnp.asarray(init), jnp.asarray(hws),
+                                          jnp.asarray(tots), t4, hrows,
+                                          w_nway, tlog, w_s, interpret)
+            else:
+                if windows > 1:
+                    # requested windowed kernel is ineligible — say why
+                    # instead of silently changing the performance profile
+                    debuglog(2, "turbo decode: windows=%d requested but "
+                                "falling back to resident v2 (wire %s, "
+                                "t4=%d %% 32 = %d)",
+                             windows,
+                             "rows" if tots.ndim == 3 else "totals",
+                             t4, t4 % 32)
+                outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
+                                           jnp.asarray(init), jnp.asarray(hws),
+                                           jnp.asarray(tots), t4, hrows,
+                                           interpret, tlog)
         else:  # v1 groups: rank computed in-kernel
             outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
                                     jnp.asarray(init), jnp.asarray(hws),
@@ -520,14 +571,27 @@ def turbo16_decompress_device(blob: bytes, interpret: bool = False,
                 tots[j] = stots
         common = (jnp.asarray(cs_b), jnp.asarray(tbl), jnp.asarray(init_b),
                   jnp.asarray(hws))
-        if have_tots and windows > 1 and t2 % 64 == 0:
-            from .rans_kernels import rans_decode_w
+        if have_tots:
+            w_nway, w_s = _window_dispatch(windows, t2, hrows, tlog, G,
+                                           False, True, big)
+            if w_nway:
+                from .rans_kernels import rans_decode_w
 
-            outw, err = rans_decode_w(*common, jnp.asarray(tots), t2, hrows,
-                                      windows, tlog, 64, interpret, True, big)
-        elif have_tots:  # v2 speed mode
-            outw, err = rans_decode_v2(*common, jnp.asarray(tots),
-                                       t2, hrows, interpret, tlog, True, big)
+                debuglog(2, "turbo16 decode: windowed kernel nway=%d S=%d "
+                            "(windows=%d, t2=%d, G=%d)", w_nway, w_s,
+                         windows, t2, G)
+                outw, err = rans_decode_w(*common, jnp.asarray(tots), t2,
+                                          hrows, w_nway, tlog, w_s,
+                                          interpret, True, big)
+            else:
+                if windows > 1:
+                    debuglog(2, "turbo16 decode: windows=%d requested but "
+                                "falling back to resident v2 "
+                                "(t2=%d %% 64 = %d)",
+                             windows, t2, t2 % 64)
+                outw, err = rans_decode_v2(*common, jnp.asarray(tots),
+                                           t2, hrows, interpret, tlog, True,
+                                           big)
         else:
             outw, err = rans_decode(*common, t2, hrows, interpret, True, tlog,
                                     big)

@@ -827,6 +827,16 @@ def rans_encode2(fc_tables, magic_tables, src_words,
                         pltpu.VMEM((8, 128), jnp.int32),
                         pltpu.VMEM((8, 128), jnp.int32)],
         interpret=interpret,
+        # multi-MiB groups: the packed-out block (hcap_p rows) plus the
+        # pipeline's double buffering exceeds the 16 MiB scoped-vmem
+        # default at 4 MiB groups (r3 bench OOM: 18.29M > 16M); v5e has
+        # 128 MiB of VMEM, so raise the cap to what this launch needs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100 << 20,
+                max(16 << 20,
+                    2 * 4 * 128 * (hcap_p + chunk_t4 * 8 + sect_rows
+                                   + 2 * nch + 16) + (4 << 20)))),
     )(fc_tables, magic_tables, src_words.reshape(G * t4_count * 8, 128))
 
     stream = out.reshape(G, hcap_p, 128)
@@ -1101,6 +1111,24 @@ def _pick_nway(per_group_bytes: int, budget: int = (18 * 2**20 + 700 * 2**10)) -
         if 2 * nway * per_group_bytes < budget:
             return nway
     return 1
+
+
+def v2_pick_nway(t4_count: int, hrows: int, tlog: int = RANS_TABLELOG,
+                 u16: bool = False, totals_only: bool = False,
+                 u16x: bool = False) -> int:
+    """The interleave width rans_decode_v2 would pick for this shape —
+    exposed so the host dispatch (turbo/api.py) can compare the resident
+    kernel's predicted collapse against the HBM-windowed kernel's padding
+    waste before choosing a kernel."""
+    spc = 2 if u16 else 4
+    T = t4_count * spc
+    rows_per = t4_count * 8 + 8
+    tch = max((1 << tlog) // 128, 1) * (2 if u16x else 1)
+    r8 = 0 if totals_only else ((T + 127) // 128) * 8
+    rc = ((t4_count + 7) // 8) * 8
+    srows = stream_word_rows(hrows)
+    per_group = (srows + rows_per + rc + r8 + tch + 8) * 512
+    return _pick_nway(per_group)
 
 
 @functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))

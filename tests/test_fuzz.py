@@ -21,8 +21,13 @@ from finitestateentropy_tpu.refimpl.ncount import fse_read_ncount
 from finitestateentropy_tpu.utils.xxhash32 import xxh32
 
 SEED = 20260816
-N_ITERS = 60
-MAX_SLICE = 4096
+# FSE_TPU_FUZZ_ITERS scales this suite to reference depth (fuzzer.c:54
+# defaults to 128K iterations over <=128 KiB slices); the CI default stays
+# small.  Deep runs also widen the slice cap to the reference's 128 KiB.
+import os
+
+N_ITERS = int(os.environ.get("FSE_TPU_FUZZ_ITERS", "60") or 60)
+MAX_SLICE = 128 * 1024 if N_ITERS > 1000 else 4096
 
 
 def _corpora(rng):
