@@ -188,15 +188,18 @@ def bench_group_sweep(sizes=((2, 16), (4, 8))):
 
     for mb, G in sizes:
         nbytes = int(mb * (1 << 20))
-        # ratio sweep runs reference-parity tables (tableLog 11)
-        p = _prep(nbytes, 80, tlog=11)
+        # PRODUCTION speed wire (tableLog 10): tableLog 11 costs the
+        # windowed kernel 2.6x (16-chunk gather; 6.7 vs 17.3 GB/s at
+        # 4 MiB) for ~0.01 ratio — ratio-parity tables get a ratio-only
+        # line below
+        p = _prep(nbytes, 80, tlog=10)
         fc, mg = p["fc_mg"]
         t4, hcap = p["t4"], p["hcap"]
         a = (jnp.asarray(np.broadcast_to(fc, (G, 2, 128)).copy()),
              jnp.asarray(np.broadcast_to(mg, (G, 2, 128)).copy()),
              jnp.asarray(np.broadcast_to(p["srcw"], (G, t4 * 8, 128)).copy()))
         stream, fin, csize, stots = rans_encode2(*a, t4, hcap, INTERP, False,
-                                                 11, True, 0, True)
+                                                 10, True, 0, True)
         cs = int(np.asarray(csize)[0])
         from finitestateentropy_tpu.turbo.rans import _pack_rows4
         packed = _pack_rows4(np.asarray(stots)[0].astype(np.uint8))
@@ -211,30 +214,31 @@ def bench_group_sweep(sizes=((2, 16), (4, 8))):
             srows)
         stots_rows = np.asarray(stots)[0].astype(np.int32)
         hws = np.broadcast_to(one, (G, srows, 128)).copy()
+        tch = p["dtbl"].shape[0]
         args = (jnp.asarray(np.full(G, cs, np.int32)),
-                jnp.asarray(np.broadcast_to(p["dtbl"], (G, 16, 128)).copy()),
+                jnp.asarray(np.broadcast_to(p["dtbl"], (G, tch, 128)).copy()),
                 jnp.asarray(np.broadcast_to(
                     np.asarray(fin)[0].reshape(8, 128), (G, 8, 128)).copy()),
                 jnp.asarray(hws),
                 jnp.asarray(np.broadcast_to(
                     stots_rows, (G,) + stots_rows.shape).copy()))
-        outw, err = rans_decode_v2(*args, t4, hrows, INTERP, 11)
+        outw, err = rans_decode_v2(*args, t4, hrows, INTERP, 10)
         assert not np.asarray(err).any()
         dec, _ = _rate_b(
-            lambda: rans_decode_v2(*args, t4, hrows, INTERP, 11)[1],
+            lambda: rans_decode_v2(*args, t4, hrows, INTERP, 10)[1],
             G * nbytes)
         log(f"p80 {mb}MiB groups: decode {dec:6.3f} GB/s (resident v2)  "
             f"ratios rows4 {nbytes / rows_bytes:.2f} / "
             f"totals {nbytes / totals_bytes:.2f} / "
-            f"none {nbytes / ratio_bytes:.2f}")
+            f"none {nbytes / ratio_bytes:.2f}  (speed wire, tlog 10)")
 
         # r4 default at multi-MiB: HBM-windowed decode keeps the
         # interleave width, so the rows4 ratio decodes at full speed
         try:
-            outw, err = rans_decode_w(*args, t4, hrows, 8, 11, 32, INTERP)
+            outw, err = rans_decode_w(*args, t4, hrows, 8, 10, 32, INTERP)
             assert not np.asarray(err).any()
             decw, _ = _rate_b(
-                lambda: rans_decode_w(*args, t4, hrows, 8, 11, 32,
+                lambda: rans_decode_w(*args, t4, hrows, 8, 10, 32,
                                       INTERP)[1],
                 G * nbytes)
             log(f"p80 {mb}MiB groups: decode {decw:6.3f} GB/s (windowed "
@@ -244,6 +248,23 @@ def bench_group_sweep(sizes=((2, 16), (4, 8))):
                 raise
             log(f"p80 {mb}MiB windowed decode failed: {type(e).__name__}: "
                 f"{str(e)[:200]}")
+
+        # reference-parity tables (tableLog 11): ratio-only line — the
+        # windowed kernel pays 2.6x for the 16-chunk gather, so tlog 11
+        # is a ratio mode, not a speed mode
+        p11 = _prep(nbytes, 80, tlog=11)
+        fc11, mg11 = p11["fc_mg"]
+        a11 = (jnp.asarray(fc11[None]), jnp.asarray(mg11[None]),
+               jnp.asarray(p11["srcw"][None]))
+        _s, _f, cs11, st11 = rans_encode2(*a11, t4, hcap, INTERP, False,
+                                          11, True, 0, True)
+        cs11 = int(np.asarray(cs11)[0])
+        packed11 = _pack_rows4(np.asarray(st11)[0].astype(np.uint8))
+        rows11 = cs11 * 2 + 4096 + \
+            (len(packed11) if packed11 is not None else t4 * 32) + 64
+        log(f"p80 {mb}MiB groups: ratios rows4 {nbytes / rows11:.2f} / "
+            f"none {nbytes / (cs11 * 2 + 4096 + 64):.2f}  "
+            f"(ratio wire, tlog 11; reference single-stream 8.84)")
 
 
 def bench_rans16(n_syms: int, G: int):

@@ -96,6 +96,8 @@ def test_deep_fuzz_twin_wire_modes(corpora):
     the native path it differentially matches."""
     from finitestateentropy_tpu.turbo.rans import rans_compress, rans_decompress
 
+    from finitestateentropy_tpu.turbo.rans import FLAG_RAW, FLAG_RLE, _HDR
+
     rng = np.random.default_rng(SEED + 2)
     iters = max(6, N_ITERS // 50)
     modes = [{}, {"steptots": False}, {"totals_only": True}]
@@ -105,7 +107,11 @@ def test_deep_fuzz_twin_wire_modes(corpora):
         blob = rans_compress(src, **kw)
         assert rans_decompress(blob) == src, \
             f"iter {it} seed {SEED + 2} kw={kw}"
-        if len(blob) > 6200:
+        flags = _HDR.unpack_from(blob)[4]
+        if len(blob) > 6200 and not flags & (FLAG_RAW | FLAG_RLE):
+            # coded groups must REJECT payload corruption; raw/RLE groups
+            # carry no group-level check (the frame CRC covers them,
+            # fileio.c:410-418 analogue)
             b = bytearray(blob)
             b[-int(rng.integers(1, 16))] ^= 0x20
             with pytest.raises((ValueError, FSEError)):
