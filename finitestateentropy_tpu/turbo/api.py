@@ -267,7 +267,10 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
     from .rans_kernels import v2_pick_nway
 
     nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x)
-    if 7 * G > nv * ((G + 7) // 8 * 8):
+    # >= : the tie (nv == 7, G a multiple of 8 -> no padding either way)
+    # goes to the windowed kernel, which measured slightly faster even at
+    # 1 MiB (18.7-19.7 vs 17.3-18.5 across r4 runs)
+    if 7 * G >= nv * ((G + 7) // 8 * 8):
         return 8, S
     return 0, 0
 
