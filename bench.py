@@ -174,7 +174,7 @@ def bench_rans(group_bytes: int, G: int, proba: int,
     return slopes, enc_gbps, ratio
 
 
-def bench_group_sweep(sizes=((2, 16), (4, 8))):
+def bench_group_sweep(sizes=((2, 16), (4, 16))):
     """Ratio/speed frontier across group sizes (p80): bigger groups
     amortize the 4 KiB init-state section (ratio up to 8.49 rows4 / 8.80
     none at 4 MiB vs the reference single-stream 8.84), and the r4 default
