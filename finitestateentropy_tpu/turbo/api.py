@@ -249,17 +249,25 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
 
     windows > 1 forces the windowed kernel at that interleave (when the
     shape is eligible); windows == 1 forces resident v2; windows == 0 (the
-    default) picks by the measured cost model (probe_sweep_b.py, r4): the
-    windowed kernel's rate is ~width-independent (18.5-23.6 GB/s on v5e at
-    1-4 MiB groups, all corpora) while v2's collapses with its VMEM-picked
-    interleave nv (~18.5 * nv/7: 9.0 GB/s at 2 MiB, 3.3 at 4 MiB), and the
-    windowed kernel pads the batch to a multiple of its 8-way width — so
-    windowed wins iff 7*G > nv*pad8(G)."""
+    default) picks by the measured cost model (probe_sweep_b.py, r4).
+
+    Bytes wires: the windowed kernel's rate is ~width-independent
+    (18.5-23.6 GB/s on v5e at 1-4 MiB groups, all corpora) while v2's
+    collapses with its VMEM-picked interleave nv (~18.5 * nv/7: 9.0 GB/s
+    at 2 MiB, 3.3 at 4 MiB), and the windowed kernel pads the batch to a
+    multiple of its 8-way width — so windowed wins iff 7*G > nv*pad8(G).
+
+    u16 wire: v2 degrades more gently (2 bytes/symbol amortize the
+    per-step cost: 19.9 GB/s at nv=5, 6.2 at nv=1) while windowed S=64
+    runs 17.7-17.9 — the crossover sits at nv <= 4, not 7.  The window
+    span S is capped at 64 rows: S=128 crashes the Mosaic remote compiler
+    deterministically on v5e (probe_sweep_b uw8s128/uw8s128g4), and the
+    measured S sweep showed no win beyond 64 anyway."""
     spc = 2 if u16 else 4
     smin = 128 // spc
     if t_count % smin:
         return 0, 0          # group too small / misaligned for windows
-    S = 2 * smin if t_count % (2 * smin) == 0 else smin
+    S = min(2 * smin if t_count % (2 * smin) == 0 else smin, 64)
     if windows == 1:
         return 0, 0
     if windows > 1:
@@ -267,10 +275,12 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
     from .rans_kernels import v2_pick_nway
 
     nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x)
-    # >= : the tie (nv == 7, G a multiple of 8 -> no padding either way)
-    # goes to the windowed kernel, which measured slightly faster even at
-    # 1 MiB (18.7-19.7 vs 17.3-18.5 across r4 runs)
-    if 7 * G >= nv * ((G + 7) // 8 * 8):
+    # bytes: >= so the tie (nv == 7, G a multiple of 8 -> no padding
+    # either way) goes to the windowed kernel, which measured slightly
+    # faster even at 1 MiB (18.7-19.7 vs 17.3-18.5 across r4 runs);
+    # u16: crossover measured at nv <= 4 (see docstring)
+    v2_width = 4.5 if u16 else 7
+    if v2_width * G >= nv * ((G + 7) // 8 * 8):
         return 8, S
     return 0, 0
 

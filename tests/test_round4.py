@@ -51,6 +51,32 @@ def test_windows_fallback_u16_is_logged(capsys):
     assert "turbo16 decode: windows=8 requested but falling back" in err
 
 
+def test_window_dispatch_u16_model():
+    """u16 kernel dispatch, calibrated on v5e (probe_sweep_b.py r4):
+    resident v2 wins at 1 MiB groups (19.9 vs 17.7 GB/s — the u16 step
+    amortizes per-step cost over 2 bytes, so v2's nv=5 does not collapse
+    like the bytes wire), windowed wins at 2-4 MiB (17.9 vs 6.2 at nv=1);
+    and the window span S must never exceed 64 rows — S=128 crashes the
+    Mosaic remote compiler deterministically on v5e, so even a forced
+    windows=N request is capped."""
+    from finitestateentropy_tpu.turbo.api import _window_dispatch
+
+    def hrows(cs):
+        return ((cs + 127) // 128 + 16 + 7) // 8 * 8
+
+    # 1 MiB u16 group at ratio ~2 -> nv = 5 -> resident v2
+    assert _window_dispatch(0, 256, hrows(268500), 11, 32, False, True) \
+        == (0, 0)
+    # 4 MiB -> nv = 1 -> windowed, S capped at 64 (t2 % 128 == 0)
+    assert _window_dispatch(0, 1024, hrows(1 << 20), 11, 32, False, True) \
+        == (8, 64)
+    # forced windowed must also cap S
+    nway, S = _window_dispatch(8, 256, hrows(268500), 11, 32, False, True)
+    assert (nway, S) == (8, 64)
+    # bytes wire unchanged: 1 MiB p80 -> windowed 8-way S=64
+    assert _window_dispatch(0, 256, hrows(63200), 10, 56, False) == (8, 64)
+
+
 @pytest.mark.slow
 def test_bench_smoke():
     """bench.py --smoke must execute EVERY section end-to-end on the CPU

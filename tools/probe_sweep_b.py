@@ -107,6 +107,77 @@ def run_decode(name, nway, S, mib, proba):
     return gbps
 
 
+def run_decode_tot(name, nway, S, mib, proba):
+    """FLAG_TOTALS wire (1 u16/step): row offsets recomputed in-kernel
+    (2 chained matmuls on the serial path) — the ratio-over-speed wire."""
+    G = (35 // max(nway, 7)) * max(nway, 7) or nway
+    G = max(G, nway)
+    b = build(G, mib, proba)
+    t4, hrows = b["t4"], b["hrows"]
+    da = list(b["da"])
+    da[4] = jnp.sum(da[4], axis=2).astype(jnp.int32)  # [G,T] totals wire
+    if S == 0:
+        fn = lambda: rans_decode_v2(*da, t4, hrows, False, TLOG)
+    else:
+        fn = lambda: rans_decode_w(*da, t4, hrows, nway, TLOG, S)
+    out, err = fn()
+    assert not np.asarray(err).any(), name
+    ob = np.asarray(out)[0].astype("<i4").tobytes()[: b["group_bytes"]]
+    assert ob == b["data"], f"{name}: bytes wrong"
+    gbps, ts = rate_b(lambda: fn()[1], G * b["group_bytes"])
+    print(f"{name}: totals nway={nway} S={S} {mib}MiB p{proba:02d} G={G}  "
+          f"{gbps:6.2f} GB/s  (t2 {ts[2]*1e3:.1f} t10 {ts[10]*1e3:.1f} ms)")
+    return gbps
+
+
+def build16(G, n_syms):
+    """u16 Pareto-distance group broadcast to G (the u16dist workload)."""
+    from finitestateentropy_tpu.turbo.rans16 import (_pad_n16,
+                                                     parse_rans16_group,
+                                                     rans16_compress)
+    from finitestateentropy_tpu.turbo.rans_kernels import pack_rans16_dtable
+
+    rng = np.random.default_rng(5)
+    d = np.clip((rng.pareto(1.2, n_syms) * 50).astype(np.int64), 0,
+                1023).astype(np.uint16)
+    (n0, cs, tlog, flags, norm, max_sv, init, payload, stots), _ = \
+        parse_rans16_group(rans16_compress(d))
+    t2 = _pad_n16(n0) // 2048
+    hrows = _round8((cs + 127) // 128 + 16)
+    one = pack_stream_words(payload, stream_word_rows(hrows))
+    dtbl = pack_rans16_dtable(norm)
+    initw = init.view(np.int32).reshape(8, 128)
+    da = (jnp.asarray(np.full(G, cs, np.int32)),
+          jnp.asarray(np.broadcast_to(dtbl, (G,) + dtbl.shape).copy()),
+          jnp.asarray(np.broadcast_to(initw, (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(one, (G, stream_word_rows(hrows), 128)).copy()),
+          jnp.asarray(np.broadcast_to(stots.astype(np.int32),
+                                      (G,) + stots.shape).copy()))
+    return dict(da=da, t2=t2, hrows=hrows, tlog=tlog, d=d,
+                group_bytes=2 * n_syms)
+
+
+def run_decode16(name, nway, S, n_syms=1 << 19):
+    """u16 wire (2048 symbols/step): v2 (S=0) vs windowed."""
+    G = (35 // max(nway, 7)) * max(nway, 7) or nway
+    G = max(G, nway)
+    b = build16(G, n_syms)
+    t2, hrows, tlog = b["t2"], b["hrows"], b["tlog"]
+    if S == 0:
+        fn = lambda: rans_decode_v2(*b["da"], t2, hrows, False, tlog, True)
+    else:
+        fn = lambda: rans_decode_w(*b["da"], t2, hrows, nway, tlog, S,
+                                   False, True)
+    out, err = fn()
+    assert not np.asarray(err).any(), name
+    got = np.asarray(out)[0].astype("<i4").reshape(-1).view(np.uint16)
+    assert np.array_equal(got[: len(b["d"])], b["d"]), f"{name}: syms wrong"
+    gbps, ts = rate_b(lambda: fn()[1], G * b["group_bytes"])
+    print(f"{name}: u16 nway={nway} S={S} {b['group_bytes']>>20}MiB G={G}  "
+          f"{gbps:6.2f} GB/s  (t2 {ts[2]*1e3:.1f} t10 {ts[10]*1e3:.1f} ms)")
+    return gbps
+
+
 def run_encode(name, rowloc, mib=1, proba=80, G=32):
     b = build(G, mib, proba)
     t4, hcap = b["t4"], b["hcap"]
@@ -137,6 +208,27 @@ DEC = {
     "w8s32p14": (8, 32, 1, 14),
 }
 
+# totals wire: (nway, S, mib, proba); S=0 -> resident v2
+TOT = {
+    "tbase": (7, 0, 1, 80),
+    "tbaseg4": (7, 0, 4, 80),
+    "tw8s32": (8, 32, 1, 80),
+    "tw10s32": (10, 32, 1, 80),
+    "tw8s32g4": (8, 32, 4, 80),
+    "tw10s32g4": (10, 32, 4, 80),
+}
+
+# u16 wire: (nway, S, n_syms); S=0 -> resident v2
+U16 = {
+    "ubase": (7, 0, 1 << 19),
+    "uw8s64": (8, 64, 1 << 19),
+    "uw10s64": (10, 64, 1 << 19),
+    "uw8s128": (8, 128, 1 << 19),
+    "ubaseg4": (7, 0, 1 << 21),
+    "uw8s64g4": (8, 64, 1 << 21),
+    "uw8s128g4": (8, 128, 1 << 21),
+}
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["base", "w8s32"]
     print("devices:", jax.devices())
@@ -146,6 +238,10 @@ if __name__ == "__main__":
                 run_encode(nm, False)
             elif nm == "encrl":
                 run_encode(nm, True)
+            elif nm in TOT:
+                run_decode_tot(nm, *TOT[nm])
+            elif nm in U16:
+                run_decode16(nm, *U16[nm])
             else:
                 run_decode(nm, *DEC[nm])
         except Exception as ex:
