@@ -206,6 +206,12 @@ DEC = {
     "w8s32p02": (8, 32, 1, 2),
     "w10s32p02": (10, 32, 1, 2),
     "w8s32p14": (8, 32, 1, 14),
+    "w10s64": (10, 64, 1, 80),
+    "w8s64p02": (8, 64, 1, 2),
+    "w10s64p02": (10, 64, 1, 2),
+    "w8s64p14": (8, 64, 1, 14),
+    "w10s64p14": (10, 64, 1, 14),
+    "w10s32p14": (10, 32, 1, 14),
 }
 
 # totals wire: (nway, S, mib, proba); S=0 -> resident v2
@@ -227,6 +233,7 @@ U16 = {
     "ubaseg4": (7, 0, 1 << 21),
     "uw8s64g4": (8, 64, 1 << 21),
     "uw8s128g4": (8, 128, 1 << 21),
+    "uw10s64g4": (10, 64, 1 << 21),
 }
 
 if __name__ == "__main__":
