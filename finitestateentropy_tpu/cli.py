@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="turbo decode: HBM-windowed kernel at N-way "
                         "interleave (rows wire, >= 256K groups); 0 = "
                         "resident kernels")
+    p.add_argument("--pair", type=int, default=-1, choices=[-1, 0, 1],
+                   help="turbo order-1 pair wire (2 bytes/decode-step, "
+                        "~2x decode): -1 auto per group (default), 0 off, "
+                        "1 force when eligible")
+    p.add_argument("--quad", type=int, default=-1, choices=[-1, 0, 1],
+                   help="turbo order-3 quad wire (4 bytes/decode-step): "
+                        "-1 auto per group (default), 0 off, 1 force")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
     p.add_argument("rest", nargs="*",
@@ -254,7 +261,9 @@ def _turbo_main(args, verbosity: int) -> int:
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    th.join(timeout=60)
+    # an explicit --device tpu means the user wants the device path: wait
+    # out a slow tunnel instead of silently degrading to the host codec
+    th.join(timeout=300 if args.device == "tpu" else 60)
     has_tpu = bool(found and found[0])
     if th.is_alive() and verbosity >= 1:
         print("warning: TPU backend probe timed out; using the native "
@@ -299,7 +308,8 @@ def _turbo_main(args, verbosity: int) -> int:
                                      interpret=interpret,
                                      steptots=sect != "none",
                                      totals_only=sect == "totals",
-                                     mesh=args.mesh, **kw)
+                                     mesh=args.mesh, pair=args.pair,
+                                     quad=args.quad, **kw)
         _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)

@@ -125,11 +125,14 @@ def prep_group_native(chunk: bytes, table_log: int = 11):
             max_sv, ncount.raw[:nc_len], mfs)
 
 
-def _walk_groups(blob: bytes) -> int:
-    """Header-only walk: total decoded size (mirrors the C-side sizing)."""
+def _walk_groups(blob: bytes):
+    """Header-only walk: (total decoded size, pair-group spans).  Pair
+    groups (FLAG_PAIR, turbo/pair.py) are located so the decompressor can
+    route them to the host twin — the C codec speaks the byte wire only."""
     import struct
 
     pos, total = 0, 0
+    pair_spans: list[tuple[int, int, int]] = []   # (start, used, out_off)
     while pos < len(blob):
         if pos + 16 > len(blob):
             raise ValueError("truncated turbo-rans stream")
@@ -137,7 +140,19 @@ def _walk_groups(blob: bytes) -> int:
             "<IIIBBH", blob, pos)
         if magic != 0x183EF002:
             raise ValueError("bad turbo-rans magic")
-        if flags & 1:            # raw
+        if flags & 32:           # FLAG_PAIR: sized by the full parser
+            from .turbo.pair import parse_pair_group
+
+            _g, used = parse_pair_group(blob[pos:])
+            pair_spans.append((pos, used, total))
+            pos += used
+        elif flags & 128:        # FLAG_QUAD: same twin-fallback routing
+            from .turbo.quad import parse_quad_group
+
+            _g, used = parse_quad_group(blob[pos:])
+            pair_spans.append((pos, used, total))
+            pos += used
+        elif flags & 1:          # raw
             pos += 16 + n
         elif flags & 2:          # rle
             pos += 20
@@ -154,20 +169,55 @@ def _walk_groups(blob: bytes) -> int:
                         else (n_pad // 1024) * 2 if flags & 8 else 0)
             pos += hdr2 + sect + 2 * csize_hw
         total += n
-    return total
+    return total, pair_spans
 
 
 def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
-    """Multi-group threaded decompress (nthreads <= 0 = all cores)."""
+    """Multi-group threaded decompress (nthreads <= 0 = all cores).
+
+    Multi-byte-wire groups (FLAG_PAIR / FLAG_QUAD) decode through the
+    host twin — frames from the TPU path with the r5 pair/quad dispatch
+    stay decodable on native-only hosts (slower for those groups; the C
+    pair/quad decoders are the native backlog item)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native turbofse library unavailable")
-    total = _walk_groups(blob)
-    dst = ctypes.create_string_buffer(max(total, 1))
-    r = lib.tfse_rans_decompress(blob, len(blob), dst, total, nthreads)
-    if r < 0:
-        raise ValueError(f"native decompress failed: {r}")
-    return dst.raw[:r]
+    total, pair_spans = _walk_groups(blob)
+    if not pair_spans:
+        dst = ctypes.create_string_buffer(max(total, 1))
+        r = lib.tfse_rans_decompress(blob, len(blob), dst, total, nthreads)
+        if r < 0:
+            raise ValueError(f"native decompress failed: {r}")
+        return dst.raw[:r]
+    from .turbo.rans import rans_decompress as _twin_decompress
+
+    out = bytearray(total)
+    cursor = 0          # blob cursor of the pending native span
+    out_off = 0
+    for start, used, o_off in pair_spans:
+        if start > cursor:
+            seg = blob[cursor:start]
+            st, _ = _walk_groups(seg)
+            dst = ctypes.create_string_buffer(max(st, 1))
+            r = lib.tfse_rans_decompress(seg, len(seg), dst, st, nthreads)
+            if r < 0:
+                raise ValueError(f"native decompress failed: {r}")
+            out[out_off : out_off + r] = dst.raw[:r]
+            out_off += r
+        piece = _twin_decompress(blob[start : start + used])
+        out[out_off : out_off + len(piece)] = piece
+        out_off += len(piece)
+        cursor = start + used
+    if cursor < len(blob):
+        seg = blob[cursor:]
+        st, _ = _walk_groups(seg)
+        dst = ctypes.create_string_buffer(max(st, 1))
+        r = lib.tfse_rans_decompress(seg, len(seg), dst, st, nthreads)
+        if r < 0:
+            raise ValueError(f"native decompress failed: {r}")
+        out[out_off : out_off + r] = dst.raw[:r]
+        out_off += r
+    return bytes(out[:out_off])
 
 
 def _walk_groups16(blob: bytes) -> int:

@@ -49,13 +49,14 @@ def sharded_turbo_encode(mesh: Mesh, t4_count: int, hrows_cap: int,
 
 
 def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
-                         interpret: bool = False, tlog: int = 11):
+                         interpret: bool = False, tlog: int = 11,
+                         u16: bool = False, pair: bool = False):
     """(csize[G], tbl[G,16,128], init[G,8,128], hws[G,srows,128] packed
     payload words) -> (out sharded, err sharded, any_err replicated)."""
 
     def local(cs, tbl, init, hws):
         out, err = rans_decode(cs, tbl, init, hws, t4_count, hrows, interpret,
-                               False, tlog)
+                               u16, tlog, False, pair)
         any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
         return out, err, any_err
 
@@ -68,16 +69,18 @@ def sharded_turbo_decode(mesh: Mesh, t4_count: int, hrows: int,
 
 def sharded_turbo_encode_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
                             interpret: bool = False, tlog: int = 11,
-                            force_chunk: int = 0):
+                            force_chunk: int = 0, u16: bool = False,
+                            rowloc: bool = False, quad: bool = False):
     """Production speed-mode encode (FLAG_STEPTOTS wire) sharded over dp:
     (fc, mg, srcw) -> (stream, final_states, csize_hw, steptots sharded;
-    total_hw replicated)."""
+    total_hw replicated).  u16 selects the 2-symbols-per-lane-slot source
+    layout (fseU16-class / pair wires); rowloc the row-local placement."""
 
     def local(fc, mg, srcw):
         stream, fin, csize, stots = rans_encode2(fc, mg, srcw, t4_count,
                                                  hrows_cap, interpret,
-                                                 False, tlog, True,
-                                                 force_chunk)
+                                                 u16, tlog, True,
+                                                 force_chunk, rowloc, quad)
         total = jax.lax.psum(jnp.sum(csize), "dp")
         return stream, fin, csize, stots, total
 
@@ -89,14 +92,17 @@ def sharded_turbo_encode_v2(mesh: Mesh, t4_count: int, hrows_cap: int,
 
 
 def sharded_turbo_decode_v2(mesh: Mesh, t4_count: int, hrows: int,
-                            interpret: bool = False, tlog: int = 11):
+                            interpret: bool = False, tlog: int = 11,
+                            u16: bool = False, pair: bool = False,
+                            quad: bool = False):
     """Production v2 decode (shipped steptots) sharded over dp:
     (csize, tbl, init, hws, steptots) -> (out sharded, err sharded,
-    any_err replicated)."""
+    any_err replicated).  u16/pair select the 2-symbols-per-lane-slot
+    wires (fseU16-class / order-1 pair, turbo/pair.py)."""
 
     def local(cs, tbl, init, hws, stots):
         out, err = rans_decode_v2(cs, tbl, init, hws, stots, t4_count, hrows,
-                                  interpret, tlog)
+                                  interpret, tlog, u16, False, pair, quad)
         any_err = jax.lax.pmax(jnp.max(jnp.abs(err)), "dp")
         return out, err, any_err
 
@@ -201,6 +207,60 @@ def sharded_turbo16_roundtrip(mesh: Mesh, t2_count: int, hrows_cap: int,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
                    out_specs=(P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_pair_roundtrip(mesh: Mesh, t2_count: int, hrows_cap: int,
+                                 interpret: bool = False, tlog: int = 9):
+    """Pair-wire (order-1, turbo/pair.py) round-trip over the mesh: the
+    r5 default dispatch for pair-eligible byte groups — encode2 u16-mode
+    rowloc over pair ids, decode via the pair-mode v2 kernel (pair-value
+    LUT gathered off the serial path).  Returns (ok, total_hw) replicated."""
+
+    def local(fc, mg, srcw, dtbl):
+        stream, fin, csize, stots = rans_encode2(fc, mg, srcw, t2_count,
+                                                 hrows_cap, interpret,
+                                                 True, tlog, True, 0, True)
+        out, err = rans_decode_v2(csize, dtbl, fin, stream, stots,
+                                  t2_count, hrows_cap, interpret, tlog,
+                                  True, False, True)
+        # out holds pair VALUES (LUT-mapped); srcw holds pair ids — verify
+        # via err flags + csize consistency, the value check runs host-side
+        ok = jnp.all(err == 0)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "dp")
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return out, ok, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_turbo_quad_roundtrip(mesh: Mesh, steps: int, hrows_cap: int,
+                                 interpret: bool = False, tlog: int = 11):
+    """Quad-wire (order-3, turbo/quad.py) round-trip over the mesh: spc=1
+    encode over quad ids -> quad-mode v2 decode (one full output word per
+    lane per step).  Returns (out sharded, ok, total_hw replicated)."""
+
+    def local(fc, mg, srcw, dtbl):
+        stream, fin, csize, stots = rans_encode2(fc, mg, srcw, steps,
+                                                 hrows_cap, interpret,
+                                                 False, tlog, True, 0, True,
+                                                 True)
+        out, err = rans_decode_v2(csize, dtbl, fin, stream, stots,
+                                  steps, hrows_cap, interpret, tlog,
+                                  False, False, False, True)
+        ok = jnp.all(err == 0)
+        ok = jax.lax.pmin(ok.astype(jnp.int32), "dp")
+        total = jax.lax.psum(jnp.sum(csize), "dp")
+        return out, ok, total
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                   out_specs=(P("dp"), P(), P()),
                    check_vma=False)
     return jax.jit(fn)
 

@@ -20,12 +20,23 @@ from .format import TURBO_LANES, TURBO_STEP_SYMS, _pad_n
 from .rans import (FLAG_RAW, FLAG_RLE, FLAG_ROWS4, FLAG_STEPTOTS,
                    FLAG_TOTALS, _pack_rows4,
                    RANS_MAGIC, RANS_TABLELOG, _HDR, parse_rans_group)
-from .rans_kernels import (pack_rans_ctables, pack_rans_dtable, rans_decode,
+from .pair import (FLAG_PAIR, PAIR_TABLELOG, apply_escapes, predicted_bits,
+                   prep_pair_group)
+from .quad import FLAG_QUAD, QUAD_TABLELOG, _pad_q, prep_quad_group
+from .rans_kernels import (pack_pair_dtable, pack_quad_dtable,
+                           pack_rans_ctables,
+                           pack_rans_dtable, rans_decode,
                            rans_decode_v2, rans_encode, rans_encode2,
                            stream_word_rows)
 
 DEFAULT_GROUP = 1 << 20
 MAX_GROUP = 4 << 20   # encode2 chunks src reads; out buffer bounds this
+
+# auto dispatch gives the pair wire this much predicted-size slack: the
+# measured trade on p80 is -2.9% ratio for +2.1x decode speed at the pair
+# default tableLog 9 (tools/probe_pair.py; the reference itself ships
+# Huff0 at -28% ratio for 3x, README.md:32-33)
+PAIR_RATIO_GIVE = 0.04
 
 
 def _round8(x: int) -> int:
@@ -76,11 +87,70 @@ def _pad_groups(arrs, m: int):
     return [np.concatenate([a] + [a[-1:]] * pad, axis=0) for a in arrs]
 
 
+def _wire_ests(ch: np.ndarray, prep_byte, tlog_byte: int, pp, qp):
+    """Predicted group sizes (payload + per-wire sections; the 4 KiB init
+    and 16 B header are wire-independent and cancel) for the byte wire and
+    — when eligible — the pair (order-1) and quad (order-3) wires."""
+    from .rans16 import _pad_n16
+
+    n = len(ch)
+    norm_b, max_sv, ncount_b, _mfs = prep_byte
+    counts_b = np.bincount(ch, minlength=max_sv + 1)[: max_sv + 1]
+    # 4 B/step rows4 steptots assumed on every side (cancels any bias)
+    ests = {"byte": (predicted_bits(norm_b, counts_b, tlog_byte) / 8
+                     + len(ncount_b) + 4 * (_pad_n(n) // TURBO_LANES))}
+    if pp is not None:
+        ests["pair"] = (predicted_bits(pp["norm"], pp["counts"], pp["tlog"])
+                        / 8 + len(pp["sections"])
+                        + 4 * (_pad_n16((n + 1) // 2) // TURBO_LANES))
+    if qp is not None:
+        ests["quad"] = (predicted_bits(qp["norm"], qp["counts"], qp["tlog"])
+                        / 8 + len(qp["sections"])
+                        + 4 * (_pad_q((n + 3) // 4) // TURBO_LANES))
+    return ests
+
+
+def _pick_wire(ch: np.ndarray, prep_byte, tlog_byte: int, pp, qp,
+               pair_mode: int, quad_mode: int) -> str:
+    """Auto dispatch across the byte / pair / quad wires: the FASTEST
+    eligible wire whose predicted size is within PAIR_RATIO_GIVE of the
+    best candidate wins (quad decodes 4 bytes/step, pair 2, byte 1 —
+    the same speed-for-ratio call the reference makes shipping Huff0,
+    README.md:32-33).  Force modes (mode == 1) shortcut the estimate."""
+    if quad_mode == 1 and qp is not None:
+        return "quad"
+    if pair_mode == 1 and pp is not None:
+        return "pair"
+    ests = _wire_ests(ch, prep_byte, tlog_byte,
+                      pp if pair_mode != 0 else None,
+                      qp if quad_mode != 0 else None)
+    best = min(ests.values())
+    for wire in ("quad", "pair"):        # fastest first
+        if wire in ests and ests[wire] <= best * (1 + PAIR_RATIO_GIVE):
+            return wire
+    return "byte"
+
+
+def _pair_wins(ch: np.ndarray, prep_byte, tlog_byte: int, pp,
+               force: bool) -> bool:
+    """Pair-vs-byte dispatch (kept for the bench/tests; the production
+    three-way pick is _pick_wire)."""
+    if pp is None:
+        return False
+    if force:
+        return True
+    return _pick_wire(ch, prep_byte, tlog_byte, pp, None, -1, 0) == "pair"
+
+
 def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                           interpret: bool = False,
                           table_log: int = 0,
                           steptots: bool = True, mesh: int = 0,
-                          totals_only: bool = False) -> bytes:
+                          totals_only: bool = False,
+                          pair: int = -1,
+                          pair_table_log: int = 0,
+                          quad: int = -1,
+                          quad_table_log: int = 0) -> bytes:
     """Compress with the TurboRANS Pallas encode kernel.
 
     steptots=True (speed mode) ships per-step renorm counts (+~0.8% of the
@@ -90,13 +160,31 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     decoder's rank needs two chained matmuls instead of one fused one).
     mesh > 1 shards group batches data-parallel over that many devices
     (the reference's block-independence seam, fileio.c:292, at group
-    granularity).  table_log=0 = mode default (10 speed / 11 ratio)."""
+    granularity).  table_log=0 = mode default (10 speed / 11 ratio).
+
+    pair / quad select the multi-byte wires (turbo/pair.py order-1 — 2
+    bytes per decode step; turbo/quad.py order-3 — 4 bytes per step): -1
+    (default) auto-picks per group the FASTEST wire whose predicted size
+    is within PAIR_RATIO_GIVE of the best candidate; 0 disables; 1 forces
+    when eligible (quad beats pair when both are forced).
+    pair_table_log / quad_table_log = 0 pick the wire defaults.  The
+    totals_only and steptots=False wires have no multi-byte variants, so
+    those modes disable them (quad is steptots-only by format)."""
     import jax.numpy as jnp
 
     from .rans import RANS_SPEED_TABLELOG
 
     if table_log == 0:
         table_log = RANS_SPEED_TABLELOG if steptots else RANS_TABLELOG
+    if totals_only:
+        pair = 0
+        quad = 0
+    if not steptots:
+        quad = 0                    # the quad wire is steptots-only
+        if pair == -1:
+            pair = 0                # ratio mode: multi-byte wires are a
+                                    # speed play; auto stays byte (an
+                                    # explicit pair=1 is still honored)
     if not 5 <= table_log <= 12:
         # the byte-path table packings use 12-bit freq/cumul fields
         # ((cumul<<12)|freq) — FSE_MAX_TABLELOG parity (lib/fse.h:641-681)
@@ -131,14 +219,26 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
     # cores and overlaps the async device dispatch — the reference's
     # per-block codec call at fileio.c:343, pipelined)
     batches: dict[int, list[tuple[int, np.ndarray, tuple]]] = {}
+    pair_batches: dict[tuple[int, int], list[tuple[int, np.ndarray, dict]]] = {}
+    quad_batches: dict[tuple[int, int], list[tuple[int, np.ndarray, dict]]] = {}
     passthrough: dict[int, bytes] = {}
     workers = min(len(chunks), os.cpu_count() or 1)
+
+    def full_prep(ch):
+        p = prep_group(ch, table_log)
+        if p is None:
+            return p, None, None
+        pp = prep_pair_group(ch, pair_table_log) if pair != 0 else None
+        qp = prep_quad_group(ch, quad_table_log) if quad != 0 else None
+        return p, pp, qp
+
     if workers > 1:
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            preps = list(ex.map(lambda ch: prep_group(ch, table_log), chunks))
+            preps = list(ex.map(full_prep, chunks))
     else:
-        preps = [prep_group(ch, table_log) for ch in chunks]
-    for gi, (ch, prep) in enumerate(zip(chunks, preps)):
+        preps = [full_prep(ch) for ch in chunks]
+    from .rans16 import RANS16_STEP_SYMS, _pad_n16
+    for gi, (ch, (prep, pprep, qprep)) in enumerate(zip(chunks, preps)):
         if prep is None:
             if (ch == ch[0]).all():  # RLE
                 passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0,
@@ -148,7 +248,17 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
                 passthrough[gi] = _HDR.pack(RANS_MAGIC, len(ch), 0, 0,
                                             FLAG_RAW, 0) + ch.tobytes()
             continue
-        batches.setdefault(_pad_n(len(ch)), []).append((gi, ch, prep))
+        wire = _pick_wire(ch, prep, table_log, pprep, qprep, pair, quad)
+        if wire == "quad":
+            quad_batches.setdefault(
+                (_pad_q((len(ch) + 3) // 4), qprep["tlog"]), []).append(
+                    (gi, ch, qprep))
+        elif wire == "pair":
+            pair_batches.setdefault(
+                (_pad_n16((len(ch) + 1) // 2), pprep["tlog"]), []).append(
+                    (gi, ch, pprep))
+        else:
+            batches.setdefault(_pad_n(len(ch)), []).append((gi, ch, prep))
 
     results: dict[int, bytes] = dict(passthrough)
     for n_pad, items in batches.items():
@@ -236,6 +346,145 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
             if len(blob) >= len(ch) + _HDR.size:
                 blob = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RAW, 0) + ch.tobytes()
             results[gi] = blob
+
+    for (n_pad16, ptlog), items in pair_batches.items():
+        G = len(items)
+        debuglog(3, "turbo encode: PAIR batch of %d groups, n_pad16=%d, "
+                 "tlog=%d", G, n_pad16, ptlog)
+        t2 = n_pad16 // RANS16_STEP_SYMS
+        hcap = _round8(n_pad16 // 128 + 16)
+        fc = np.zeros((G, 2, 128), np.int32)
+        mg = np.zeros((G, 2, 128), np.int32)
+        srcw = np.zeros((G, t2 * 8, 128), np.int32)
+
+        def stage_p(j):
+            gi, ch, pp = items[j]
+            fc[j], mg[j] = pack_rans_ctables(pp["norm"])
+            ids = pp["ids"]
+            padv = np.full(n_pad16, pp["mfi"], np.uint16)
+            padv[: len(ids)] = ids
+            srcw[j] = padv.view("<u4").view(np.int32).reshape(t2 * 8, 128)
+
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=min(G, workers)) as ex:
+                list(ex.map(stage_p, range(G)))
+        else:
+            for j in range(G):
+                stage_p(j)
+        mesh_obj = None
+        if mesh and mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            mesh_obj = get_mesh(mesh)
+        if mesh_obj is not None:
+            from ..parallel.turbo_dp import sharded_turbo_encode_v2
+
+            m = mesh_obj.devices.size
+            fcp, mgp, srcwp = _pad_groups([fc, mg, srcw], m)
+            # always the steptots kernel under the mesh (payload identical;
+            # the section is simply dropped at assembly when steptots=False)
+            step = sharded_turbo_encode_v2(mesh_obj, t2, hcap, interpret,
+                                           ptlog, u16=True, rowloc=True)
+            stream, fin, csize, stots, _tot = step(
+                jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
+        else:
+            stream, fin, csize, stots = rans_encode2(
+                jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), t2, hcap,
+                interpret, True, ptlog, steptots, 0, True)
+        stream = np.ascontiguousarray(np.asarray(stream))
+        fin = np.asarray(fin)
+        csize = np.asarray(csize)
+        stots_np = np.asarray(stots).astype(np.uint8) if steptots else None
+        for j, (gi, ch, pp) in enumerate(items):
+            payload = stream[j].tobytes()[: 2 * int(csize[j])]
+            fl = pp["flags"]
+            if steptots:
+                packed = _pack_rows4(stots_np[j])
+                if packed is not None:
+                    sect, fl = packed, fl | FLAG_STEPTOTS | FLAG_ROWS4
+                else:
+                    sect = stots_np[j].reshape(-1).tobytes()
+                    fl |= FLAG_STEPTOTS
+            else:
+                sect = b""
+            blob = (
+                _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), pp["tlog"],
+                          fl, pp["nc_len"])
+                + pp["sections"]
+                + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + sect
+                + payload
+            )
+            if len(blob) >= len(ch) + _HDR.size:
+                blob = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RAW, 0) + ch.tobytes()
+            results[gi] = blob
+
+    for (id_pad, qtlog), items in quad_batches.items():
+        G = len(items)
+        debuglog(3, "turbo encode: QUAD batch of %d groups, id_pad=%d, "
+                 "tlog=%d", G, id_pad, qtlog)
+        steps = id_pad // TURBO_LANES
+        hcap = _round8((id_pad + 127) // 128 + 16)  # <= 1 hw per id
+        fc = np.zeros((G, 2, 128), np.int32)
+        mg = np.zeros((G, 2, 128), np.int32)
+        srcw = np.zeros((G, steps * 8, 128), np.int32)
+
+        def stage_q(j):
+            gi, ch, qp = items[j]
+            fc[j], mg[j] = pack_rans_ctables(qp["norm"])
+            ids = qp["ids"]
+            padv = np.full(id_pad, qp["mfi"], np.uint32)
+            padv[: len(ids)] = ids
+            srcw[j] = padv.astype("<u4").view(np.int32).reshape(steps * 8, 128)
+
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=min(G, workers)) as ex:
+                list(ex.map(stage_q, range(G)))
+        else:
+            for j in range(G):
+                stage_q(j)
+        mesh_obj = None
+        if mesh and mesh > 1:
+            from ..parallel.mesh import get_mesh
+
+            mesh_obj = get_mesh(mesh)
+        if mesh_obj is not None:
+            from ..parallel.turbo_dp import sharded_turbo_encode_v2
+
+            m = mesh_obj.devices.size
+            fcp, mgp, srcwp = _pad_groups([fc, mg, srcw], m)
+            step = sharded_turbo_encode_v2(mesh_obj, steps, hcap, interpret,
+                                           qtlog, rowloc=True, quad=True)
+            stream, fin, csize, stots, _tot = step(
+                jnp.asarray(fcp), jnp.asarray(mgp), jnp.asarray(srcwp))
+        else:
+            stream, fin, csize, stots = rans_encode2(
+                jnp.asarray(fc), jnp.asarray(mg), jnp.asarray(srcw), steps,
+                hcap, interpret, False, qtlog, True, 0, True, True)
+        stream = np.ascontiguousarray(np.asarray(stream))
+        fin = np.asarray(fin)
+        csize = np.asarray(csize)
+        stots_np = np.asarray(stots).astype(np.uint8)
+        for j, (gi, ch, qp) in enumerate(items):
+            payload = stream[j].tobytes()[: 2 * int(csize[j])]
+            fl = qp["flags"]
+            packed = _pack_rows4(stots_np[j])
+            if packed is not None:
+                sect, fl = packed, fl | FLAG_STEPTOTS | FLAG_ROWS4
+            else:
+                sect = stots_np[j].reshape(-1).tobytes()
+                fl |= FLAG_STEPTOTS
+            blob = (
+                _HDR.pack(RANS_MAGIC, len(ch), int(csize[j]), qp["tlog"],
+                          fl, qp["nc_len"])
+                + qp["sections"]
+                + fin[j].reshape(-1).view(np.uint32).astype("<u4").tobytes()
+                + sect
+                + payload
+            )
+            if len(blob) >= len(ch) + _HDR.size:
+                blob = _HDR.pack(RANS_MAGIC, len(ch), 0, 0, FLAG_RAW, 0) + ch.tobytes()
+            results[gi] = blob
     for gi in range(len(chunks)):
         out += results[gi]
     return bytes(out)
@@ -243,7 +492,7 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
 
 def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
                      G: int, totals_only: bool, u16: bool = False,
-                     u16x: bool = False) -> tuple[int, int]:
+                     u16x: bool = False, pair: bool = False) -> tuple[int, int]:
     """Kernel choice for a speed-wire decode batch: returns (nway, S) for
     the HBM-windowed kernel (rans_decode_w), or (0, 0) for resident v2.
 
@@ -262,7 +511,11 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
     runs 17.7-17.9 — the crossover sits at nv <= 4, not 7.  The window
     span S is capped at 64 rows: S=128 crashes the Mosaic remote compiler
     deterministically on v5e (probe_sweep_b uw8s128/uw8s128g4), and the
-    measured S sweep showed no win beyond 64 anyway."""
+    measured S sweep showed no win beyond 64 anyway.
+
+    pair wire (order-1, turbo/pair.py): same 2-bytes/symbol economics as
+    the u16 wire (the pair LUT gather is off the serial path), so it
+    shares the u16 crossover."""
     spc = 2 if u16 else 4
     smin = 128 // spc
     if t_count % smin:
@@ -274,7 +527,7 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
         return windows, S
     from .rans_kernels import v2_pick_nway
 
-    nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x)
+    nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x, pair)
     # bytes: >= so the tie (nv == 7, G a multiple of 8 -> no padding
     # either way) goes to the windowed kernel, which measured slightly
     # faster even at 1 MiB (18.7-19.7 vs 17.3-18.5 across r4 runs);
@@ -309,26 +562,37 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
         pos += used
 
     pieces: list[bytes | None] = [None] * len(groups)
-    batches: dict[tuple[int, int, int], list[int]] = {}
+    batches: dict[tuple[int, int, int, bool], list[int]] = {}
     for i, g in enumerate(groups):
-        n, csize_hw, tlog, flags, norm, max_sv, init, payload, steptots = g
+        n, csize_hw, tlog, flags, norm = g[0], g[1], g[2], g[3], g[4]
+        payload, steptots = g[7], g[8]
         if flags & FLAG_RAW:
             pieces[i] = bytes(payload)
         elif flags & FLAG_RLE:
             pieces[i] = bytes([payload[0]]) * n
         else:
-            n_pad = _pad_n(n)
+            # multi-byte wires (11-tuple): pad/batch by SYMBOL count —
+            # pairs through the u16 lane interleave, quads 1-per-lane-word
+            wire = (2 if len(g) == 11 and g[3] & FLAG_QUAD
+                    else 1 if len(g) == 11 else 0)
+            from .rans16 import _pad_n16
+            n_pad = (_pad_q((n + 3) // 4) if wire == 2
+                     else _pad_n16((n + 1) // 2) if wire == 1 else _pad_n(n))
             kind = 0 if steptots is None else steptots.ndim  # 0 | 1 | 2
-            batches.setdefault((n_pad, tlog, kind), []).append(i)
+            batches.setdefault((n_pad, tlog, kind, wire), []).append(i)
 
-    for (n_pad, tlog, kind), idxs in batches.items():
+    for (n_pad, tlog, kind, wire), idxs in batches.items():
         G = len(idxs)
+        is_pair, is_quad = wire == 1, wire == 2
         debuglog(3, "turbo decode: batch of %d groups, n_pad=%d, tlog=%d, "
-                 "sect_kind=%d", G, n_pad, tlog, kind)
-        t4 = n_pad // TURBO_STEP_SYMS
+                 "sect_kind=%d, wire=%s", G, n_pad, tlog, kind,
+                 ("byte", "pair", "quad")[wire])
+        from .rans16 import RANS16_STEP_SYMS
+        t4 = n_pad // (TURBO_LANES if is_quad
+                       else RANS16_STEP_SYMS if is_pair else TURBO_STEP_SYMS)
         hrows = _round8(
             max((groups[i][1] + 127) // 128 for i in idxs) + 16)
-        tch = max((1 << tlog) // 128, 1)
+        tch = max((1 << tlog) // 128, 1) + (2 if is_pair or is_quad else 0)
         T = n_pad // TURBO_LANES
         srows = stream_word_rows(hrows)
         tbl = np.zeros((G, tch, 128), np.int32)
@@ -344,8 +608,15 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
             # payload is already the packed word layout — staging is a
             # straight byte copy (no halfword expansion, half the H2D).
             j, i = j_i
-            n, csize_hw, _tl, flags, norm, max_sv, ini, payload, stots = groups[i]
-            tbl[j] = pack_rans_dtable(norm, tlog)
+            g = groups[i]
+            n, csize_hw, _tl, flags, norm = g[0], g[1], g[2], g[3], g[4]
+            ini, payload, stots = g[6], g[7], g[8]
+            if is_quad:
+                tbl[j] = pack_quad_dtable(norm, g[9], tlog)
+            elif is_pair:
+                tbl[j] = pack_pair_dtable(norm, g[9], tlog)
+            else:
+                tbl[j] = pack_rans_dtable(norm, tlog)
             init[j] = ini.view(np.int32).reshape(8, 128)
             w = np.frombuffer(payload + b"\0" * (-len(payload) % 4), "<u4")
             hws[j].reshape(-1)[: len(w)] = w.view(np.int32)
@@ -374,30 +645,38 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                 csp, tblp, initp, hwsp, totsp = _pad_groups(
                     [cs, tbl, init, hws, tots], m)
                 step = sharded_turbo_decode_v2(mesh_obj, t4, hrows,
-                                               interpret, tlog)
+                                               interpret, tlog,
+                                               u16=is_pair, pair=is_pair,
+                                               quad=is_quad)
                 outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
                                        jnp.asarray(initp), jnp.asarray(hwsp),
                                        jnp.asarray(totsp))
             else:
                 csp, tblp, initp, hwsp = _pad_groups([cs, tbl, init, hws], m)
                 step = sharded_turbo_decode(mesh_obj, t4, hrows,
-                                            interpret, tlog)
+                                            interpret, tlog,
+                                            u16=is_pair, pair=is_pair)
                 outw, err, _any = step(jnp.asarray(csp), jnp.asarray(tblp),
                                        jnp.asarray(initp), jnp.asarray(hwsp))
             err = np.asarray(err)[:G]
         elif have_tots:
-            w_nway, w_s = _window_dispatch(windows, t4, hrows, tlog, G,
-                                           kind == 1)
+            # the windowed kernel has no quad mode yet: quad batches pin
+            # the resident v2 kernel (spc=1 keeps its VMEM small anyway —
+            # the stream is the only multi-MiB block)
+            w_nway, w_s = (0, 0) if is_quad else _window_dispatch(
+                windows, t4, hrows, tlog, G, kind == 1, u16=is_pair,
+                pair=is_pair)
             if w_nway:
                 from .rans_kernels import rans_decode_w
 
                 debuglog(2, "turbo decode: windowed kernel nway=%d S=%d "
-                            "(windows=%d, t4=%d, G=%d)", w_nway, w_s,
-                         windows, t4, G)
+                            "(windows=%d, t4=%d, G=%d, pair=%s)", w_nway,
+                         w_s, windows, t4, G, is_pair)
                 outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
                                           jnp.asarray(init), jnp.asarray(hws),
                                           jnp.asarray(tots), t4, hrows,
-                                          w_nway, tlog, w_s, interpret)
+                                          w_nway, tlog, w_s, interpret,
+                                          is_pair, False, is_pair)
             else:
                 if windows > 1:
                     # requested windowed kernel is ineligible — say why
@@ -411,18 +690,29 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                 outw, err = rans_decode_v2(jnp.asarray(cs), jnp.asarray(tbl),
                                            jnp.asarray(init), jnp.asarray(hws),
                                            jnp.asarray(tots), t4, hrows,
-                                           interpret, tlog)
+                                           interpret, tlog, is_pair, False,
+                                           is_pair, is_quad)
         else:  # v1 groups: rank computed in-kernel
             outw, err = rans_decode(jnp.asarray(cs), jnp.asarray(tbl),
                                     jnp.asarray(init), jnp.asarray(hws),
-                                    t4, hrows, interpret, False, tlog)
+                                    t4, hrows, interpret, is_pair, tlog,
+                                    False, is_pair)
         err = np.asarray(err)
         if err.any():
             raise ValueError(f"turbo-rans device decode: corrupt groups {np.nonzero(err)[0]}")
         outw = np.asarray(outw)
         for j, i in enumerate(idxs):
             n = groups[i][0]
-            pieces[i] = outw[j].astype("<i4").tobytes()[:n]
+            if is_quad:
+                qu = (outw[j].astype("<i4").reshape(-1).view(np.uint32)
+                      [: (n + 3) // 4].copy())
+                pieces[i] = apply_escapes(qu, groups[i][10]).tobytes()[:n]
+            elif is_pair:
+                pu = (outw[j].astype("<i4").reshape(-1).view(np.uint16)
+                      [: (n + 1) // 2].copy())
+                pieces[i] = apply_escapes(pu, groups[i][10]).tobytes()[:n]
+            else:
+                pieces[i] = outw[j].astype("<i4").tobytes()[:n]
     return b"".join(pieces)
 
 

@@ -241,6 +241,12 @@ def rans_decompress_resident(blob: bytes, interpret: bool | None = None):
     pieces: list = [None] * len(groups)
     batches: dict[tuple[int, int, int], list[int]] = {}
     for i, g in enumerate(groups):
+        if len(g) == 11:
+            # pair-wire groups need host-side escape patching; the
+            # resident encode path never emits them
+            raise ValueError(
+                "resident decode does not support FLAG_PAIR groups; use "
+                "turbo_decompress_device (turbo/api.py)")
         n, csize_hw, tlog, flags, norm, max_sv, init, payload, stots = g
         if flags & FLAG_RAW:
             pieces[i] = jnp.asarray(np.frombuffer(payload, np.uint8)[:n])
@@ -319,6 +325,55 @@ def rans_resident_roundtrip(x, group_size: int = DEFAULT_GROUP,
     ok_dev, cs_dev = _resident_roundtrip_jit(
         x.astype(jnp.uint8), group_size, table_log, interpret)
     return bool(np.asarray(ok_dev)), int(np.asarray(cs_dev)), n
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _resident_mixed_rt_jit(x, group_size: int, table_log: int,
+                           coded_idx: tuple, interpret: bool):
+    """Device-resident roundtrip for MIXED batches (BASELINE config 5 /
+    the fileio.c:347-404 per-block fallback analogue, VERDICT r4 next #4):
+    the fused compress classifies every group on device (coded/RLE/raw),
+    the coded subset decodes through the windowed kernel, RLE groups
+    rebuild by broadcast, raw groups by an HBM copy — the payload never
+    crosses the host link.
+
+    coded_idx is the batch's coded-group composition (host-known after one
+    warmup sync of the per-group flag scalars; static so the decode batch
+    shape compiles).  Returns (ok, total_csize_hw of coded groups)."""
+    import jax.numpy as jnp
+
+    from ..ops.rans_tables import pack_rans_dtable_batch
+    from .rans_kernels import rans_decode_w
+
+    G = x.shape[0] // group_size
+    xp = x.reshape(G, group_size)
+    lens = jnp.full((G,), group_size, jnp.int32)
+    n_pad = _pad_n(group_size)
+    stream, fin, csize, stots, norm_s, _norm, flags, mfs, srcw = \
+        _resident_compress_jit(xp, lens, n_pad, table_log, True, interpret)
+    t4 = n_pad // TURBO_STEP_SYMS
+    hcap = _round8((n_pad + 127) // 128 + 16)
+    ci = jnp.asarray(coded_idx, jnp.int32)
+    dtbl = pack_rans_dtable_batch(norm_s[ci], table_log)
+    if t4 % 32 == 0:
+        out, err = rans_decode_w(csize[ci], dtbl, fin[ci], stream[ci],
+                                 stots[ci], t4, hcap, 8, table_log, 32,
+                                 interpret)
+    else:
+        out, err = rans_decode_v2(csize[ci], dtbl, fin[ci], stream[ci],
+                                  stots[ci], t4, hcap, interpret, table_log)
+    # reconstruct every group in the i32 word domain and verify against
+    # the encoder's padded source words (bijective with the input bytes)
+    rle = flags == 1
+    raw = flags == 4
+    # RLE rebuild: each word is the run byte replicated (int32 mul wraps,
+    # reproducing the bit pattern)
+    rle_words = (mfs * 0x01010101)[:, None, None]
+    recw = jnp.where(rle[:, None, None], rle_words, srcw)  # RLE | raw copy
+    recw = recw.at[ci].set(out.reshape(len(coded_idx), t4 * 8, 128))
+    ok = (jnp.all(recw == srcw) & jnp.all(err == 0)
+          & jnp.all((flags == 0) | rle | raw))
+    return ok, jnp.sum(csize * (flags == 0))
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))

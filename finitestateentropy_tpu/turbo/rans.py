@@ -228,6 +228,14 @@ def parse_rans_group(blob: bytes):
     magic, n, csize_hw, table_log, flags, nc_len = _HDR.unpack_from(blob, 0)
     if magic != RANS_MAGIC:
         raise ValueError("bad turbo-rans magic")
+    if flags & 32:  # FLAG_PAIR: order-1 wire, extra LUT/escape sections
+        from .pair import parse_pair_group
+
+        return parse_pair_group(blob)   # 11-tuple: + pairs, escapes
+    if flags & 128:  # FLAG_QUAD: order-3 wire (4 bytes/step)
+        from .quad import parse_quad_group
+
+        return parse_quad_group(blob)   # 11-tuple: + quads, escapes
     pos = _HDR.size
     if flags & FLAG_RAW:
         return (n, csize_hw, table_log, flags, None, 0, None,
@@ -264,8 +272,17 @@ def parse_rans_group(blob: bytes):
 
 
 def rans_decompress(blob: bytes) -> bytes:
+    g, _ = parse_rans_group(blob)
+    if len(g) == 11:  # FLAG_PAIR / FLAG_QUAD group
+        if g[3] & 128:
+            from .quad import quad_decompress
+
+            return quad_decompress(blob)
+        from .pair import pair_decompress
+
+        return pair_decompress(blob)
     (n, csize_hw, table_log, flags, norm, max_sv, init, payload,
-     steptots), _ = parse_rans_group(blob)
+     steptots) = g
     if flags & FLAG_RAW:
         return bytes(payload)
     if flags & FLAG_RLE:

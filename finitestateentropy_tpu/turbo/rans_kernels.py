@@ -120,13 +120,20 @@ def _flag_prefix(flags, tria, tril8, scr_ref, shape):
 
 
 def _sym_advance(table_row_fn, tchunks, shape, thi, tlo, slot, x, tlog,
-                 u16, u16x):
+                 u16, u16x, pair=False):
     """Table lookup + state advance for one decode step.
 
     u16x (symbols 1024..4095): split tables — rows [0, tchunks) hold
     e1 = (freq << 13) | j  (j = slot - cumul, precomputed), rows
     [tchunks, 2*tchunks) hold the 12-bit symbol.  The symbol gather is off
-    the serial path (x depends only on e1)."""
+    the serial path (x depends only on e1).
+
+    pair (order-1 byte pairs, turbo/pair.py): one-word entries
+    (pair_id << 2*tlog) | (freq << tlog) | (slot - cumul) in rows
+    [0, tchunks), plus a 256-entry pair-value LUT in rows [tchunks,
+    tchunks+2) gathered by pair_id OFF the serial path — 2 extra chunks
+    per step buys 2 output bytes/step (the HUF X2 move,
+    lib/huf_decompress.c:454-649, applied to rANS)."""
     def gather(off):
         acc = jnp.zeros(shape, jnp.int32)
         for h in range(tchunks):
@@ -134,6 +141,20 @@ def _sym_advance(table_row_fn, tchunks, shape, thi, tlo, slot, x, tlog,
             acc = jnp.where(thi == h, jnp.take_along_axis(row, tlo, axis=1), acc)
         return acc
 
+    if pair:
+        tmask = (1 << tlog) - 1
+        e = gather(0)
+        j = e & tmask
+        f = _srl(e, tlog) & tmask
+        sid = _srl(e, 2 * tlog)
+        x = f * _srl(x, tlog) + j
+        phi = _srl(sid, 7)
+        plo = sid & 127
+        pv = jnp.zeros(shape, jnp.int32)
+        for h in range(2):
+            row = jnp.broadcast_to(table_row_fn(tchunks + h), shape)
+            pv = jnp.where(phi == h, jnp.take_along_axis(row, plo, axis=1), pv)
+        return pv, x
     if u16x:
         e1 = gather(0)
         j = e1 & 0x1FFF                 # slot - cumul, < 2^13 (tlog <= 13)
@@ -160,7 +181,7 @@ def _sym_advance(table_row_fn, tchunks, shape, thi, tlo, slot, x, tlog,
 
 def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
                         out_ref, scr_ref, *, t4_count, srows, u16=False,
-                        tlog=RANS_TABLELOG, u16x=False):
+                        tlog=RANS_TABLELOG, u16x=False, pair=False):
     shape = (8, 128)
     g = pl.program_id(0)
     cursor0 = csize_ref[g]
@@ -175,7 +196,7 @@ def _rans_decode_kernel(csize_ref, table_ref, init_ref, stream_ref,
         thi = _srl(slot, 7)
         tlo = slot & 127
         sym, x = _sym_advance(lambda h: table_ref[0, h : h + 1, :], tchunks,
-                              shape, thi, tlo, slot, x, tlog, u16, u16x)
+                              shape, thi, tlo, slot, x, tlog, u16, u16x, pair)
         flag = _srl(x, 16) == 0
         rank, total = _flat_prefix(flag.astype(jnp.int32), tria, scr_ref, shape)
         pos = cursor - rank
@@ -234,11 +255,11 @@ def pack_stream_words(payload: bytes, srows: int) -> np.ndarray:
     return out.reshape(srows, 128)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def rans_decode(csize_hw, tables, init_states, streams,
                 t4_count: int, hrows: int, interpret: bool = False,
                 u16: bool = False, tlog: int = RANS_TABLELOG,
-                u16x: bool = False):
+                u16x: bool = False, pair: bool = False):
     """csize_hw[G] i32; tables[G,16,128] i32; init_states[G,8,128] i32 (u32
     bits); streams[G, stream_word_rows(hrows), 128] i32 (PACKED payload
     words, 2 LE halfwords each — see pack_stream_words).
@@ -248,7 +269,8 @@ def rans_decode(csize_hw, tables, init_states, streams,
     srows = stream_word_rows(hrows)
     assert streams.shape[1] == srows, (streams.shape, srows)
     kern = functools.partial(_rans_decode_kernel, t4_count=t4_count,
-                             srows=srows, u16=u16, tlog=tlog, u16x=u16x)
+                             srows=srows, u16=u16, tlog=tlog, u16x=u16x,
+                             pair=pair)
     tch = tables.shape[1]
     pk = streams.reshape(G, srows * 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -451,13 +473,15 @@ def rans_encode(fc_tables, magic_tables, src_words,
 def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
                          sect_ref, scr_ref, xs_ref, cv_ref, tile_ref,
                          *, chunk_t4, n_chunks, hcap_p, u16=False,
-                         tlog=RANS_TABLELOG, steptots=True):
+                         tlog=RANS_TABLELOG, steptots=True, quad=False):
     shape = (8, 128)
     tria = _make_tria()
     tril8 = _make_tril8()
     thresh_shift = 32 - tlog
     lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    spc = 2 if u16 else 4            # steps per supercycle
+    # steps per supercycle: quad (turbo/quad.py) codes ONE id per lane
+    # word, so the byte extraction at p=0 reads it directly
+    spc = 1 if quad else 2 if u16 else 4
     tiles_span = 128 // spc          # supercycles per steptot tile
     c = pl.program_id(1)
     t4_count = chunk_t4 * n_chunks
@@ -552,7 +576,9 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
         tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
                          jnp.zeros(shape, jnp.int32), tile)
         word = src_ref[pl.ds(lt4 * 8, 8), :]
-        if u16:
+        if quad:
+            x, cursor, tile = step(x, cursor, tile, t4, word, 0)
+        elif u16:
             x, cursor, tile = step(x, cursor, tile, 2 * t4 + 1, word, 1)
             x, cursor, tile = step(x, cursor, tile, 2 * t4, word, 0)
         else:
@@ -581,7 +607,7 @@ def _rans_encode2_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
 def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
                            sect_ref, scr_ref, xs_ref, cv_ref, tile_ref,
                            *, chunk_t4, n_chunks, hcap_p, u16=False,
-                           tlog=RANS_TABLELOG, steptots=True):
+                           tlog=RANS_TABLELOG, steptots=True, quad=False):
     """Row-local placement variant of _rans_encode2_kernel.
 
     Same wire, different placement: the packed-stream placement rule
@@ -602,7 +628,7 @@ def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
     tria = _make_tria()
     thresh_shift = 32 - tlog
     lanes8 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     tiles_span = 128 // spc
     c = pl.program_id(1)
     n_sym_chunks = fc_ref.shape[1]
@@ -729,7 +755,9 @@ def _rans_encode_rl_kernel(fc_ref, magic_ref, src_ref, out_ref, tail_ref,
         tile = jnp.where((t4 % tiles_span) == tiles_span - 1,
                          jnp.zeros(shape, jnp.int32), tile)
         word = src_ref[pl.ds(lt4 * 8, 8), :]
-        if u16:
+        if quad:
+            x, cursor, tile = step(x, cursor, tile, t4, word, 0)
+        elif u16:
             x, cursor, tile = step(x, cursor, tile, 2 * t4 + 1, word, 1)
             x, cursor, tile = step(x, cursor, tile, 2 * t4, word, 0)
         else:
@@ -765,12 +793,12 @@ def _enc_chunking(t4_count: int, spc: int, force_chunk: int = 0) -> tuple[int, i
     return max_chunk, t4_count // max_chunk
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11))
 def rans_encode2(fc_tables, magic_tables, src_words,
                  t4_count: int, hrows_cap: int, interpret: bool = False,
                  u16: bool = False, tlog: int = RANS_TABLELOG,
                  steptots: bool = True, force_chunk: int = 0,
-                 rowloc: bool = False):
+                 rowloc: bool = False, quad: bool = False):
     """Packed-out encode, groups up to 4 MiB.  Returns (stream_words
     [G, stream_word_rows(hrows_cap), 128] i32 — 2 LE halfwords per word,
     the wire payload is exactly these words' first csize_hw*2 bytes —
@@ -784,7 +812,7 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     interpret-mode groups."""
     G = fc_tables.shape[0]
     nch = fc_tables.shape[1]
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     T = t4_count * spc
     tiles_span = 128 // spc
     chunk_t4, n_chunks = _enc_chunking(t4_count, spc, force_chunk)
@@ -794,11 +822,11 @@ def rans_encode2(fc_tables, magic_tables, src_words,
     if rowloc:
         kern = functools.partial(_rans_encode_rl_kernel, chunk_t4=chunk_t4,
                                  n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
-                                 tlog=tlog, steptots=steptots)
+                                 tlog=tlog, steptots=steptots, quad=quad)
     else:
         kern = functools.partial(_rans_encode2_kernel, chunk_t4=chunk_t4,
                                  n_chunks=n_chunks, hcap_p=hcap_p, u16=u16,
-                                 tlog=tlog, steptots=steptots)
+                                 tlog=tlog, steptots=steptots, quad=quad)
     out, tail, sect = pl.pallas_call(
         kern,
         grid=(G, n_chunks),
@@ -901,6 +929,53 @@ def pack_rans16_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
     return fc.reshape(8, 128), magic.reshape(8, 128)
 
 
+def pack_pair_dtable(norm, pairs: np.ndarray,
+                     tlog: int = RANS_TABLELOG) -> np.ndarray:
+    """[(2^tlog/128)+2, 128] i32 pair-wire decode table (turbo/pair.py):
+    rows [0, tch) pack (pair_id << 2*tlog) | (freq << tlog) | (slot-cumul)
+    — one word since pair_id < 256 and tlog <= 12 — and rows [tch, tch+2)
+    hold the 256-entry id -> raw u16 pair-value LUT."""
+    assert tlog <= 12, tlog
+    freq, cumul = rans_freqs(np.asarray(norm))
+    m = 1 << tlog
+    tch = max(m // 128, 1)
+    bounds = np.concatenate([cumul, [m]])
+    slots = np.arange(m)
+    sid = np.searchsorted(bounds, slots, side="right") - 1
+    e = ((sid << (2 * tlog)) | (freq[sid] << tlog)
+         | (slots - cumul[sid])).astype(np.int64)
+    main = np.zeros(max(m, 128), np.int64)
+    main[:m] = e
+    lut = np.zeros(256, np.int32)
+    lut[: len(pairs)] = np.asarray(pairs, np.uint16)
+    return np.concatenate(
+        [main.astype(np.int32).reshape(-1, 128), lut.reshape(2, 128)], axis=0)
+
+
+def pack_quad_dtable(norm, quads: np.ndarray,
+                     tlog: int = RANS_TABLELOG) -> np.ndarray:
+    """[(2^tlog/128)+2, 128] i32 quad-wire decode table (turbo/quad.py):
+    identical layout to pack_pair_dtable but the 256-entry LUT in rows
+    [tch, tch+2) holds raw u32 4-byte groups (stored as i32 bit patterns
+    — the decode step's output word IS the LUT value)."""
+    assert tlog <= 12, tlog
+    freq, cumul = rans_freqs(np.asarray(norm))
+    m = 1 << tlog
+    tch = max(m // 128, 1)
+    bounds = np.concatenate([cumul, [m]])
+    slots = np.arange(m)
+    sid = np.searchsorted(bounds, slots, side="right") - 1
+    e = ((sid << (2 * tlog)) | (freq[sid] << tlog)
+         | (slots - cumul[sid])).astype(np.int64)
+    main = np.zeros(max(m, 128), np.int64)
+    main[:m] = e
+    lut = np.zeros(256, "<u4")
+    lut[: len(quads)] = np.asarray(quads, np.uint32)
+    return np.concatenate(
+        [main.astype(np.int32).reshape(-1, 128),
+         lut.view(np.int32).reshape(2, 128)], axis=0)
+
+
 def pack_rans16x_dtable(norm, tlog: int) -> np.ndarray:
     """[2*(2^tlog/128),128] i32 split decode table for symbols up to 4095:
     rows [0, tch) hold e1 = (freq << 13) | (slot - cumul), rows [tch, 2tch)
@@ -943,7 +1018,8 @@ def pack_rans16x_ctables(norm) -> tuple[np.ndarray, np.ndarray]:
 
 def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
                            out_ref, *, t4_count, srows, nway, u16=False,
-                           tlog=RANS_TABLELOG, u16x=False):
+                           tlog=RANS_TABLELOG, u16x=False, pair=False,
+                           quad=False):
     """N independent groups per kernel instance: their chains interleave,
     hiding each other's lookup/gather/matmul latencies (6-way measured
     ~2.1x one-way; VMEM limits pick nway).
@@ -958,7 +1034,9 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
     tchunks = max(tsize // 128, 1)
-    spc = 2 if u16 else 4            # steps per supercycle (output tile)
+    # steps per supercycle (output tile): quad writes one FULL i32 word
+    # per lane per step (turbo/quad.py)
+    spc = 1 if quad else 2 if u16 else 4
     # rank via ONE matmul: [flags | roff_hi | roff_lo] @ [TRIA ; 16s ; 1s]
     r_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
     c_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -976,7 +1054,8 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
         thi = _srl(slot, 7)
         tlo = slot & 127
         sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
-                              shape, thi, tlo, slot, x, tlog, u16, u16x)
+                              shape, thi, tlo, slot, x, tlog, u16, u16x,
+                              pair or quad)
         flag = _srl(x, 16) == 0
         # rowoff tile: value (t, r) at row (t>>7)*8 + r, lane t & 127 (the
         # encoder's section layout); hi/lo split keeps bf16 exact
@@ -1016,7 +1095,9 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
                 syms[gg].append(sg)
         for gg in range(nway):
             sa = syms[gg]
-            if u16:  # 2 u16 symbols per output word
+            if quad:  # one full word per step (the LUT value IS the word)
+                tile = sa[0]
+            elif u16:  # 2 u16 symbols per output word
                 tile = sa[0] | _sll(sa[1], 16)
             else:    # 4 bytes per output word
                 tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
@@ -1031,7 +1112,7 @@ def _rans_decode_v2_kernel(table_ref, init_ref, stream_ref, roff_ref, cur_ref,
 
 def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
                             out_ref, *, t4_count, srows, nway, u16=False,
-                            tlog=RANS_TABLELOG, u16x=False):
+                            tlog=RANS_TABLELOG, u16x=False, pair=False):
     """Totals-only (FLAG_TOTALS) variant: the wire ships one u16 renorm
     total per step, so cursors still precompute in XLA but the per-ROW
     offsets are recomputed in-kernel with the encode-side 2-matmul prefix
@@ -1050,7 +1131,7 @@ def _rans_decode_v2t_kernel(table_ref, init_ref, stream_ref, cur_ref,
         thi = _srl(slot, 7)
         tlo = slot & 127
         sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
-                              shape, thi, tlo, slot, x, tlog, u16, u16x)
+                              shape, thi, tlo, slot, x, tlog, u16, u16x, pair)
         flag = _srl(x, 16) == 0
         # flat inclusive rank: within-row matmul + tril8 row-offset matmul
         aug = jax.lax.dot_general(
@@ -1115,15 +1196,17 @@ def _pick_nway(per_group_bytes: int, budget: int = (18 * 2**20 + 700 * 2**10)) -
 
 def v2_pick_nway(t4_count: int, hrows: int, tlog: int = RANS_TABLELOG,
                  u16: bool = False, totals_only: bool = False,
-                 u16x: bool = False) -> int:
+                 u16x: bool = False, pair: bool = False,
+                 quad: bool = False) -> int:
     """The interleave width rans_decode_v2 would pick for this shape —
     exposed so the host dispatch (turbo/api.py) can compare the resident
     kernel's predicted collapse against the HBM-windowed kernel's padding
     waste before choosing a kernel."""
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     T = t4_count * spc
     rows_per = t4_count * 8 + 8
-    tch = max((1 << tlog) // 128, 1) * (2 if u16x else 1)
+    tch = (max((1 << tlog) // 128, 1) * (2 if u16x else 1)
+           + (2 if pair or quad else 0))
     r8 = 0 if totals_only else ((T + 127) // 128) * 8
     rc = ((t4_count + 7) // 8) * 8
     srows = stream_word_rows(hrows)
@@ -1131,11 +1214,12 @@ def v2_pick_nway(t4_count: int, hrows: int, tlog: int = RANS_TABLELOG,
     return _pick_nway(per_group)
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
 def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                    t4_count: int, hrows: int, interpret: bool = False,
                    tlog: int = RANS_TABLELOG, u16: bool = False,
-                   u16x: bool = False):
+                   u16x: bool = False, pair: bool = False,
+                   quad: bool = False):
     """v2 decode.  steptots is either [G, T, 8] per-row renorm counts
     (FLAG_STEPTOTS wire) or [G, T] per-step totals (FLAG_TOTALS wire — the
     row offsets are then recomputed in-kernel).  streams is the PACKED
@@ -1148,7 +1232,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     G0 = tables.shape[0]
     T = steptots.shape[1]
     totals_only = steptots.ndim == 2
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     rows_per = t4_count * 8 + 8
     tch = tables.shape[1]
     r8 = 0 if totals_only else ((T + 127) // 128) * 8
@@ -1185,7 +1269,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
     if totals_only:
         kern = functools.partial(_rans_decode_v2t_kernel, t4_count=t4_count,
                                  srows=srows, nway=nway, u16=u16, tlog=tlog,
-                                 u16x=u16x)
+                                 u16x=u16x, pair=pair)
         in_specs = common_specs + [
             pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ]
@@ -1201,7 +1285,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
                 .reshape(G, (tpad // 128) * 8, 128)).astype(jnp.int32)
         kern = functools.partial(_rans_decode_v2_kernel, t4_count=t4_count,
                                  srows=srows, nway=nway, u16=u16, tlog=tlog,
-                                 u16x=u16x)
+                                 u16x=u16x, pair=pair, quad=quad)
         in_specs = common_specs + [
             pl.BlockSpec((nway * r8, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nway * rc, 128), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -1238,7 +1322,7 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
 def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                           cur_ref, out_ref, res_ref, xs_ref, win_ref, sem,
                           *, S, n_chunks, W, srows, nway, tlog,
-                          u16=False, u16x=False, totals=False):
+                          u16=False, u16x=False, totals=False, pair=False):
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
@@ -1289,7 +1373,7 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         thi = _srl(slot_v, 7)
         tlo = slot_v & 127
         sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
-                              shape, thi, tlo, slot_v, x, tlog, u16, u16x)
+                              shape, thi, tlo, slot_v, x, tlog, u16, u16x, pair)
         flag = _srl(x, 16) == 0
         if totals:
             # totals wire: recompute row offsets in-kernel (2 chained
@@ -1355,12 +1439,12 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         res_ref[gg] = xs[gg] ^ RANS_L     # last chunk's write is kept
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
 def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
                   t4_count: int, hrows: int, nway: int,
                   tlog: int = RANS_TABLELOG, S: int = 32,
                   interpret: bool = False, u16: bool = False,
-                  u16x: bool = False):
+                  u16x: bool = False, pair: bool = False):
     """HBM-windowed decode: same wire/inputs as rans_decode_v2 (rows
     [G,T,8] or totals [G,T] steptots) but the packed stream stays in HBM
     and only a W = 4*spc*S+16-row window per group is VMEM-resident,
@@ -1425,7 +1509,8 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
 
     kern = functools.partial(_rans_decode_w_kernel, S=S, n_chunks=n_chunks,
                              W=W, srows=srows, nway=nway, tlog=tlog,
-                             u16=u16, u16x=u16x, totals=totals_only)
+                             u16=u16, u16x=u16x, totals=totals_only,
+                             pair=pair)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G // nway, n_chunks),

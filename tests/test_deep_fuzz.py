@@ -171,6 +171,67 @@ def test_deep_fuzz_chunked_groups():
                 f"iter {it} seed {SEED + 4} gs={gs} n={n}"
 
 
+def test_deep_fuzz_pair(corpora):
+    """Order-1 pair wire (turbo/pair.py) twin fuzz at ~N/50 (twin-speed
+    scaled, like the other twin suites): eligibility dispatch, roundtrip,
+    escapes, and the corruption contract."""
+    from finitestateentropy_tpu.turbo.pair import pair_compress, pair_decompress
+
+    rng = np.random.default_rng(SEED + 6)
+    iters = max(6, N_ITERS // 50)
+    for it in range(iters):
+        src = _slice(rng, corpora)
+        tlog = int(rng.choice([9, 10, 11]))
+        blob = pair_compress(src, table_log=tlog,
+                             steptots=bool(rng.integers(0, 2)))
+        if blob is None:
+            continue  # ineligible (wide pair alphabet / tiny / constant)
+        assert pair_decompress(blob) == src, f"iter {it} seed {SEED + 6}"
+        if len(blob) > 6200:
+            b = bytearray(blob)
+            b[-int(rng.integers(1, 16))] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out2 = pair_decompress(bytes(b))
+                assert out2 != src, \
+                    f"iter {it}: flipped pair payload decoded to original"
+            except (ValueError, FSEError):
+                pass
+
+
+def test_deep_fuzz_device_kernels(corpora):
+    """Interpret-mode Pallas kernel fuzz at ~N/500 (VERDICT r4 next #5):
+    the device decode's ERROR-FLAG surface (the corruption_detected
+    analogue) gets randomized coverage, not just the dedicated corruption
+    tests — byte and pair wires, roundtrip + payload flips."""
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device)
+
+    rng = np.random.default_rng(SEED + 7)
+    # interpret mode is ~1000x hardware and every (shape, tlog, csize-rows)
+    # combination recompiles, so the default-scale run stays tiny; the
+    # nightly (N_ITERS >= 10000) gets 20+ iterations
+    for it in range(max(1, N_ITERS // 500)):
+        n = int(rng.integers(1024, 24 * 1024))
+        data = corpora[2] if rng.integers(0, 4) else corpora[3]
+        off = int(rng.integers(0, len(data) - n))
+        src = data[off : off + n]
+        pair_mode = int(rng.choice([-1, 0, 1]))
+        blob = turbo_compress_device(src, group_size=1 << 15, interpret=True,
+                                     pair=pair_mode)
+        assert turbo_decompress_device(blob, interpret=True) == src, \
+            f"iter {it} seed {SEED + 7} pair={pair_mode}"
+        if len(blob) > 6200:
+            b = bytearray(blob)
+            b[-int(rng.integers(1, 16))] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out2 = turbo_decompress_device(bytes(b), interpret=True)
+                assert out2 != src, \
+                    f"iter {it}: flipped payload decoded to original " \
+                    f"(pair={pair_mode})"
+            except (ValueError, FSEError):
+                pass  # device error flags raised — the expected path
+
+
 def test_deep_fuzz_garbage_headers():
     """Garbage after a valid magic must never crash or overread — at depth
     (fuzzer.c:252-262 ran 128K of these)."""

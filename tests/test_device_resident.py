@@ -19,7 +19,10 @@ def test_resident_matches_host_path_bytes():
     # kernels) is identical to TPU
     x = jnp.asarray(np.frombuffer(data, np.uint8))
     blob = rans_compress_resident(x, group_size=65536)
-    host_blob = turbo_compress_device(data, group_size=65536, interpret=True)
+    # the resident pipeline is byte-wire by design: pin the host path to
+    # the byte wire (the r5 auto dispatch picks pair/quad on p80)
+    host_blob = turbo_compress_device(data, group_size=65536, interpret=True,
+                                      pair=0, quad=0)
     assert blob == host_blob
     out = rans_decompress_resident(blob)
     assert bytes(np.asarray(out).tobytes()) == data
@@ -46,7 +49,7 @@ def test_resident_wire_modes(kw):
     x = jnp.asarray(np.frombuffer(data, np.uint8))
     blob = rans_compress_resident(x, group_size=40960, **kw)
     host_blob = turbo_compress_device(data, group_size=40960,
-                                      interpret=True, **kw)
+                                      interpret=True, pair=0, quad=0, **kw)
     assert blob == host_blob
     assert bytes(np.asarray(rans_decompress_resident(blob)).tobytes()) == data
 
@@ -64,7 +67,8 @@ def test_resident_ragged_tail_wire_matches_host():
     data = generate_proba(80)[: 65536 + 20000]
     x = jnp.asarray(np.frombuffer(data, np.uint8))
     blob = rans_compress_resident(x, group_size=65536)
-    host_blob = turbo_compress_device(data, group_size=65536, interpret=True)
+    host_blob = turbo_compress_device(data, group_size=65536, interpret=True,
+                                      pair=0, quad=0)
     assert blob == host_blob
     assert bytes(np.asarray(rans_decompress_resident(blob)).tobytes()) == data
 

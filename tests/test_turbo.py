@@ -672,7 +672,10 @@ def test_rows4_wire_roundtrip_and_device_parity():
                                                    rans_decompress)
 
     skew = generate_proba(80)[:32768]
-    blob = turbo_compress_device(skew, group_size=32768, interpret=True)
+    # pin the byte wire: this test is about the rows4 SECTION format (the
+    # r5 auto dispatch would pick the pair/quad wire on p80)
+    blob = turbo_compress_device(skew, group_size=32768, interpret=True,
+                                 pair=0, quad=0)
     g, _ = parse_rans_group(blob)
     assert g[3] & FLAG_ROWS4
     assert blob == rans_compress(skew, steptots=True)   # twin == device
