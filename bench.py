@@ -284,12 +284,12 @@ def bench_quad(group_bytes: int, G: int, proba: int, n_slopes: int = 3):
     corpus is quad-ineligible."""
     import jax.numpy as jnp
 
-    from finitestateentropy_tpu.turbo.api import _round8
+    from finitestateentropy_tpu.turbo.api import _round8, _window_dispatch
     from finitestateentropy_tpu.turbo.quad import _pad_q, prep_quad_group
     from finitestateentropy_tpu.turbo.rans import _pack_rows4
     from finitestateentropy_tpu.turbo.rans_kernels import (
         pack_quad_dtable, pack_rans_ctables, pack_stream_words,
-        rans_decode_v2, rans_encode2, stream_word_rows)
+        rans_decode_v2, rans_decode_w, rans_encode2, stream_word_rows)
     from finitestateentropy_tpu.utils import generate_proba
 
     base = generate_proba(proba)
@@ -337,13 +337,23 @@ def bench_quad(group_bytes: int, G: int, proba: int, n_slopes: int = 3):
           jnp.asarray(np.broadcast_to(one, (G, srows, 128)).copy()),
           jnp.asarray(np.broadcast_to(stots0.astype(np.int32),
                                       (G,) + stots0.shape).copy()))
-    dec_fn = lambda: rans_decode_v2(*da, steps, hrows, INTERP, tlog, False,
-                                    False, False, True)
+    w_nway, w_s = _window_dispatch(0, steps, hrows, tlog, G, False,
+                                   quad=True)
+    if w_nway:
+        dec_fn = lambda: rans_decode_w(*da, steps, hrows, w_nway, tlog, w_s,
+                                       INTERP, False, False, False, True)
+        kern = f"quad windowed {w_nway}-way S={w_s}"
+    else:
+        dec_fn = lambda: rans_decode_v2(*da, steps, hrows, INTERP, tlog,
+                                        False, False, False, True)
+        kern = "quad resident v2"
     outw, err = dec_fn()
     assert not np.asarray(err).any(), "quad decode error flags set"
     qb = (np.asarray(outw)[0].astype("<i4").reshape(-1)
-          .view(np.uint32)[: (group_bytes + 3) // 4])
-    assert qb.tobytes()[:group_bytes] == data, "quad decode mismatch"
+          .view(np.uint32)[: id_pad].copy())
+    # kernel output = LUT value per id (escaped positions carry the ESC
+    # id's LUT value until the host patches them — compare pre-patch)
+    assert np.array_equal(qb, qp["quads"][pad]), "quad decode mismatch"
     slopes = []
     for _ in range(n_slopes):
         gbps, ts = _rate_pos(lambda: dec_fn()[1], G * group_bytes,
@@ -351,7 +361,7 @@ def bench_quad(group_bytes: int, G: int, proba: int, n_slopes: int = 3):
         if gbps > 0:
             slopes.append(gbps)
             log(f"proba{proba:02d}: QUAD decode {gbps:6.3f} GB/s  "
-                f"[quad resident v2 — the only quad kernel]  "
+                f"[{kern}, dispatch-chosen]  "
                 f"(t_k1 {ts[0]*1e3:.1f} ms, t_k2 {ts[1]*1e3:.1f} ms)")
     return slopes, enc_gbps, ratio
 

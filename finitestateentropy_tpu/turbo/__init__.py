@@ -29,4 +29,12 @@ def __getattr__(name):  # lazy: keep `import finitestateentropy_tpu` jax-free
         from . import device_api
 
         return getattr(device_api, name)
+    if name in ("pair_compress", "pair_decompress"):
+        from . import pair
+
+        return getattr(pair, name)
+    if name in ("quad_compress", "quad_decompress"):
+        from . import quad
+
+        return getattr(quad, name)
     raise AttributeError(name)

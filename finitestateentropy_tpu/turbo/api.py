@@ -32,11 +32,12 @@ from .rans_kernels import (pack_pair_dtable, pack_quad_dtable,
 DEFAULT_GROUP = 1 << 20
 MAX_GROUP = 4 << 20   # encode2 chunks src reads; out buffer bounds this
 
-# auto dispatch gives the pair wire this much predicted-size slack: the
-# measured trade on p80 is -2.9% ratio for +2.1x decode speed at the pair
-# default tableLog 9 (tools/probe_pair.py; the reference itself ships
-# Huff0 at -28% ratio for 3x, README.md:32-33)
-PAIR_RATIO_GIVE = 0.04
+# auto dispatch gives the multi-byte wires this much predicted-size slack
+# over the best candidate: the measured trades on p80 1 MiB groups (v5e,
+# tools/probe_r5.py) are -2.8% ratio for 2.0x decode (pair@9: 37.5 GB/s)
+# and -6.4% for 2.6x (quad@10: 47.6 GB/s) vs the byte wire's 18.5 @ 8.30
+# — the reference itself ships Huff0 at -28% ratio for 3x (README.md:32-33)
+PAIR_RATIO_GIVE = 0.07
 
 
 def _round8(x: int) -> int:
@@ -492,7 +493,8 @@ def turbo_compress_device(data: bytes, group_size: int = DEFAULT_GROUP,
 
 def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
                      G: int, totals_only: bool, u16: bool = False,
-                     u16x: bool = False, pair: bool = False) -> tuple[int, int]:
+                     u16x: bool = False, pair: bool = False,
+                     quad: bool = False) -> tuple[int, int]:
     """Kernel choice for a speed-wire decode batch: returns (nway, S) for
     the HBM-windowed kernel (rans_decode_w), or (0, 0) for resident v2.
 
@@ -513,18 +515,25 @@ def _window_dispatch(windows: int, t_count: int, hrows: int, tlog: int,
     deterministically on v5e (probe_sweep_b uw8s128/uw8s128g4), and the
     measured S sweep showed no win beyond 64 anyway.
 
-    pair wire (order-1, turbo/pair.py): same 2-bytes/symbol economics as
-    the u16 wire (the pair LUT gather is off the serial path), so it
-    shares the u16 crossover."""
-    spc = 2 if u16 else 4
+    pair / quad wires (turbo/pair.py, turbo/quad.py): the r5 probe
+    measured the windowed kernel >= resident v2 at EVERY group size —
+    pair: 37.5 vs 35.8 at 1 MiB (nv=7), 38.3 vs 16.9 at 2 MiB, 37.9 vs
+    6.7 at 4 MiB; quad (S=128, tlog 10): 50.5 vs 45.1 at 1 MiB, 52.1 vs
+    13.0 at 4 MiB (tools/probe_r5.py) — so both pick windowed whenever
+    the shape is eligible (quad needs t_count % 128 == 0: spc=1 packs
+    128 steps per roff tile, i.e. groups >= 512 KiB)."""
+    spc = 1 if quad else 2 if u16 else 4
     smin = 128 // spc
     if t_count % smin:
         return 0, 0          # group too small / misaligned for windows
-    S = min(2 * smin if t_count % (2 * smin) == 0 else smin, 64)
+    S = smin if quad else min(
+        2 * smin if t_count % (2 * smin) == 0 else smin, 64)
     if windows == 1:
         return 0, 0
     if windows > 1:
         return windows, S
+    if pair or quad:
+        return 8, S          # measured: windowed >= v2 at every size
     from .rans_kernels import v2_pick_nway
 
     nv = v2_pick_nway(t_count, hrows, tlog, u16, totals_only, u16x, pair)
@@ -660,23 +669,20 @@ def turbo_decompress_device(blob: bytes, interpret: bool = False,
                                        jnp.asarray(initp), jnp.asarray(hwsp))
             err = np.asarray(err)[:G]
         elif have_tots:
-            # the windowed kernel has no quad mode yet: quad batches pin
-            # the resident v2 kernel (spc=1 keeps its VMEM small anyway —
-            # the stream is the only multi-MiB block)
-            w_nway, w_s = (0, 0) if is_quad else _window_dispatch(
+            w_nway, w_s = _window_dispatch(
                 windows, t4, hrows, tlog, G, kind == 1, u16=is_pair,
-                pair=is_pair)
+                pair=is_pair, quad=is_quad)
             if w_nway:
                 from .rans_kernels import rans_decode_w
 
                 debuglog(2, "turbo decode: windowed kernel nway=%d S=%d "
-                            "(windows=%d, t4=%d, G=%d, pair=%s)", w_nway,
-                         w_s, windows, t4, G, is_pair)
+                            "(windows=%d, t4=%d, G=%d, wire=%s)", w_nway,
+                         w_s, windows, t4, G, ("byte", "pair", "quad")[wire])
                 outw, err = rans_decode_w(jnp.asarray(cs), jnp.asarray(tbl),
                                           jnp.asarray(init), jnp.asarray(hws),
                                           jnp.asarray(tots), t4, hrows,
                                           w_nway, tlog, w_s, interpret,
-                                          is_pair, False, is_pair)
+                                          is_pair, False, is_pair, is_quad)
             else:
                 if windows > 1:
                     # requested windowed kernel is ineligible — say why

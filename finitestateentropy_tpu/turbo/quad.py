@@ -58,12 +58,15 @@ from .rans import (RANS_L, RANS_MAGIC, _HDR, _pack_rows4, _unpack_rows4,
 FLAG_QUAD = 128      # modifier on the 0x183EF002 wire: payload codes quads
 QUAD_MAX_ALPHA = 256
 
-QUAD_TABLELOG = 11   # p80 ratios by tableLog (1 MiB groups, host twin):
-                     # 9 -> 7.13, 10 -> 7.77, 11 -> 8.13, 12 -> 8.27 vs
-                     # byte wire 8.30 / pair@9 8.07 — 11 is the largest
-                     # table whose main gather stays 16 chunks while the
-                     # predicted size sits within the dispatch give
-                     # (tools/probe_r5.py calibrates the speed side)
+QUAD_TABLELOG = 10   # measured on v5e (tools/probe_r5.py, 1 MiB groups,
+                     # p80): decode 58.0 GB/s @ ratio 7.13 (tlog 9),
+                     # 47.6 @ 7.77 (tlog 10), 28.5 @ 8.13 (tlog 11) vs
+                     # byte wire 18.5 @ 8.30 — tlog 10 is the production
+                     # default (2.6x the byte wire for -6.4% ratio, well
+                     # inside the speed-for-ratio trade the reference
+                     # makes shipping Huff0 at -28%/3x, README.md:32-33);
+                     # -M-style override via quad_table_log for 11 (ratio)
+                     # or 9 (speed frontier)
 
 
 def _pad_q(n_quads: int) -> int:

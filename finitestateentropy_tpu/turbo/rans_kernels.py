@@ -1322,12 +1322,13 @@ def rans_decode_v2(csize_hw, tables, init_states, streams, steptots,
 def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                           cur_ref, out_ref, res_ref, xs_ref, win_ref, sem,
                           *, S, n_chunks, W, srows, nway, tlog,
-                          u16=False, u16x=False, totals=False, pair=False):
+                          u16=False, u16x=False, totals=False, pair=False,
+                          quad=False):
     shape = (8, 128)
     lanes = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     tsize = 1 << tlog
     tchunks = max(tsize // 128, 1)
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     g = pl.program_id(0)
     c = pl.program_id(1)
     r_i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
@@ -1373,7 +1374,8 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         thi = _srl(slot_v, 7)
         tlo = slot_v & 127
         sym, x = _sym_advance(lambda h: table_ref[gg, h : h + 1, :], tchunks,
-                              shape, thi, tlo, slot_v, x, tlog, u16, u16x, pair)
+                              shape, thi, tlo, slot_v, x, tlog, u16, u16x,
+                              pair or quad)
         flag = _srl(x, 16) == 0
         if totals:
             # totals wire: recompute row offsets in-kernel (2 chained
@@ -1425,7 +1427,9 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
                 syms[gg].append(sg)
         for gg in range(nway):
             sa = syms[gg]
-            if u16:  # 2 u16 symbols per output word
+            if quad:  # one full word per step (the LUT value IS the word)
+                tile = sa[0]
+            elif u16:  # 2 u16 symbols per output word
                 tile = sa[0] | _sll(sa[1], 16)
             else:    # 4 bytes per output word
                 tile = sa[0] | _sll(sa[1], 8) | _sll(sa[2], 16) | _sll(sa[3], 24)
@@ -1439,12 +1443,13 @@ def _rans_decode_w_kernel(ws_ref, table_ref, init_ref, stream_hbm, roff_ref,
         res_ref[gg] = xs[gg] ^ RANS_L     # last chunk's write is kept
 
 
-@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10, 11, 12, 13, 14))
 def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
                   t4_count: int, hrows: int, nway: int,
                   tlog: int = RANS_TABLELOG, S: int = 32,
                   interpret: bool = False, u16: bool = False,
-                  u16x: bool = False, pair: bool = False):
+                  u16x: bool = False, pair: bool = False,
+                  quad: bool = False):
     """HBM-windowed decode: same wire/inputs as rans_decode_v2 (rows
     [G,T,8] or totals [G,T] steptots) but the packed stream stays in HBM
     and only a W = 4*spc*S+16-row window per group is VMEM-resident,
@@ -1456,7 +1461,7 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
     G0 = tables.shape[0]
     T = steptots.shape[1]
     tch = tables.shape[1]
-    spc = 2 if u16 else 4
+    spc = 1 if quad else 2 if u16 else 4
     totals_only = steptots.ndim == 2
     assert t4_count % S == 0 and S % (128 // spc) == 0, (t4_count, S)
     n_chunks = t4_count // S
@@ -1510,7 +1515,7 @@ def rans_decode_w(csize_hw, tables, init_states, streams, steptots,
     kern = functools.partial(_rans_decode_w_kernel, S=S, n_chunks=n_chunks,
                              W=W, srows=srows, nway=nway, tlog=tlog,
                              u16=u16, u16x=u16x, totals=totals_only,
-                             pair=pair)
+                             pair=pair, quad=quad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(G // nway, n_chunks),

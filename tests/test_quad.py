@@ -58,14 +58,19 @@ class TestTwin:
         assert quad_compress(b"abc") is None
         assert quad_compress(b"abcd" * 4096) is None  # single quad id
 
-    def test_ratio_beats_pair_at_default_tlog(self):
-        # the r5 calibration point: quad@11 must out-compress pair@9 on
-        # p80 (8.13 vs 8.07 at 1 MiB) — guards the dispatch constants
+    def test_ratio_calibration_points(self):
+        # guards the measured dispatch constants (tools/probe_r5.py):
+        # quad@11 out-compresses pair@9 on p80 (8.13 vs 8.07 at 1 MiB),
+        # and quad@10 (the speed default) stays within PAIR_RATIO_GIVE of
+        # the byte wire so the auto dispatch can pick it
+        from finitestateentropy_tpu.turbo.api import PAIR_RATIO_GIVE
         from finitestateentropy_tpu.turbo.pair import pair_compress
+        from finitestateentropy_tpu.turbo.rans import rans_compress
         data = _p80(1 << 20)
-        qb = quad_compress(data)
-        pb = pair_compress(data)
-        assert len(qb) < len(pb)
+        assert len(quad_compress(data, table_log=11)) < len(pair_compress(data))
+        q10 = quad_compress(data, table_log=10)
+        byte = rans_compress(data)
+        assert len(q10) <= len(byte) * (1 + PAIR_RATIO_GIVE)
 
 
 class TestCorruption:
@@ -185,6 +190,22 @@ class TestDispatch:
         data = _p80(gs) + generate_proba(14)[:gs]
         blob = turbo_compress_device(data, group_size=gs, interpret=True)
         assert native.rans_decompress_native(blob) == data
+
+
+def test_windowed_quad_interpret_parity():
+    """The HBM-windowed quad kernel (spc=1, S=128 — the production
+    dispatch for >= 512 KiB quad groups) must byte-match the twin in
+    interpret mode."""
+    from finitestateentropy_tpu.turbo.api import (turbo_compress_device,
+                                                  turbo_decompress_device,
+                                                  _window_dispatch)
+    data = _p80(1 << 19)
+    # 512 KiB -> 128K quads -> 128 steps: windowed-eligible
+    assert _window_dispatch(0, 128, 64, 10, 2, False, quad=True)[0] == 8
+    dev = turbo_compress_device(data, group_size=1 << 19, interpret=True,
+                                quad=1)
+    assert dev == quad_compress(data, table_log=QUAD_TABLELOG)
+    assert turbo_decompress_device(dev, interpret=True) == data
 
 
 class TestMesh:

@@ -219,13 +219,46 @@ def quad_sweep(G=56):
                                         False, False, True)
             outw, err = fn()
             assert not np.asarray(err).any()
+            from finitestateentropy_tpu.turbo.quad import apply_escapes
             qb = (np.asarray(outw)[0].astype("<i4").reshape(-1)
-                  .view(np.uint32)[:n_quads])
-            assert qb.tobytes()[:n] == data
+                  .view(np.uint32)[:n_quads].copy())
+            assert apply_escapes(qb, esc).tobytes()[:n] == data
             med, lo, hi = rate3(lambda: fn()[1], G * nbytes)
             print(f"quad {mb}MiB tlog{tl}: v2 nv={nv:2d}  {med:6.2f} GB/s "
                   f"({lo:.2f}..{hi:.2f}) ratio {nbytes/len(blob):.2f}",
                   flush=True)
+        # windowed quad (S=128 — spc=1 needs 128 steps per roff tile)
+        for tlog in (9, 10, 11):
+            blob = quad_compress(data, table_log=tlog)
+            (n, cs, tl, fl, norm, msv, init, payload, stots, quads,
+             esc), _ = parse_quad_group(blob)
+            n_quads = (n + 3) // 4
+            steps = _pad_q(n_quads) // 1024
+            if steps % 128:
+                continue
+            hrows = _round8((cs + 127) // 128 + 16)
+            srows = stream_word_rows(hrows)
+            tbl = pack_quad_dtable(norm, quads, tl)
+            da = (jnp.asarray(np.full(G, cs, np.int32)),
+                  jnp.asarray(np.broadcast_to(tbl, (G,) + tbl.shape).copy()),
+                  jnp.asarray(np.broadcast_to(
+                      init.view(np.int32).reshape(8, 128), (G, 8, 128)).copy()),
+                  jnp.asarray(np.broadcast_to(
+                      pack_stream_words(payload, srows), (G, srows, 128)).copy()),
+                  jnp.asarray(np.broadcast_to(
+                      stots.astype(np.int32), (G,) + stots.shape).copy()))
+            for nw in (8,):
+                fn = lambda: rans_decode_w(*da, steps, hrows, nw, tl, 128,
+                                           False, False, False, False, True)
+                outw, err = fn()
+                assert not np.asarray(err).any()
+                from finitestateentropy_tpu.turbo.quad import apply_escapes
+                qb = (np.asarray(outw)[0].astype("<i4").reshape(-1)
+                      .view(np.uint32)[:n_quads].copy())
+                assert apply_escapes(qb, esc).tobytes()[:n] == data
+                med, lo, hi = rate3(lambda: fn()[1], G * nbytes)
+                print(f"quad {mb}MiB tlog{tl}: win{nw} S=128 {med:6.2f} GB/s "
+                      f"({lo:.2f}..{hi:.2f})", flush=True)
         # encode at the default tlog
         qp = prep_quad_group(data)
         ids = qp["ids"]
