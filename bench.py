@@ -352,8 +352,11 @@ def bench_quad(group_bytes: int, G: int, proba: int, n_slopes: int = 3):
     qb = (np.asarray(outw)[0].astype("<i4").reshape(-1)
           .view(np.uint32)[: id_pad].copy())
     # kernel output = LUT value per id (escaped positions carry the ESC
-    # id's LUT value until the host patches them — compare pre-patch)
-    assert np.array_equal(qb, qp["quads"][pad]), "quad decode mismatch"
+    # id's LUT slot — zero-filled in pack_quad_dtable — until the host
+    # patches them; compare pre-patch against the same padded LUT)
+    lut_full = np.zeros(256, np.uint32)
+    lut_full[: len(qp["quads"])] = qp["quads"]
+    assert np.array_equal(qb, lut_full[pad]), "quad decode mismatch"
     slopes = []
     for _ in range(n_slopes):
         gbps, ts = _rate_pos(lambda: dec_fn()[1], G * group_bytes,

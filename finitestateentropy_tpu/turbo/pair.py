@@ -128,10 +128,11 @@ def _pair_sections(plan, norm, max_sv: int, tlog: int) -> bytes:
 
 
 PAIR_TABLELOG = 9   # speed default: 4 main chunks + 2 LUT chunks per step
-                    # measured 36-41 GB/s vs 27-28 at tlog 10 on v5e
-                    # (tools/probe_pair.py); ratio 8.07 vs 8.23 on p80 —
-                    # the same speed-for-ratio trade the reference makes
-                    # shipping Huff0 (6.38 @ 3x FSE speed, README.md:32)
+                    # measured on v5e (tools/probe_r5.py, windowed 8-way):
+                    # 37.5-38.3 GB/s @ ratio 8.07-8.22 vs 25.3-26.9 @
+                    # 8.23-8.39 at tlog 10 — the same speed-for-ratio
+                    # trade the reference makes shipping Huff0 (6.38 @ 3x
+                    # FSE speed, README.md:32)
 
 
 def prep_pair_group(chunk, table_log: int = 0,
