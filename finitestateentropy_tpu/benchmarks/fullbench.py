@@ -251,6 +251,91 @@ def _turbo_stages():
         207: ("turbo_rans_encode (kernel, row-local placement)",
               lambda: rans_encode2(fcb, mgb, srcw, t4, hcap, False, False,
                                    11, True, 0, True)[2], total, "device"),
+        **_multibyte_stages(G),
+    }
+
+
+def _multibyte_stages(G):
+    """r5 pair/quad wires (stages 208/209/215/216): the production
+    dispatch's multi-byte decode/encode kernels on the same p80 corpus."""
+    import jax.numpy as jnp
+
+    from ..turbo.api import _round8
+    from ..turbo.pair import PAIR_TABLELOG, pair_compress, parse_pair_group
+    from ..turbo.quad import (QUAD_TABLELOG, _pad_q, parse_quad_group,
+                              prep_quad_group, quad_compress)
+    from ..turbo.rans16 import _pad_n16
+    from ..turbo.rans_kernels import (pack_pair_dtable, pack_quad_dtable,
+                                      pack_rans_ctables, pack_stream_words,
+                                      rans_decode_w, rans_encode2,
+                                      stream_word_rows)
+
+    gsz = 1 << 20
+    # p80: the multi-byte wires need a cappable super-symbol alphabet
+    # (P_DEFAULT=20% is pair/quad-INELIGIBLE by design — the dispatch
+    # falls back to the byte wire there)
+    base = generate_proba(80)
+    data = bytes((base * ((gsz // len(base)) + 1))[:gsz])
+    total = G * gsz
+
+    pb = pair_compress(data, table_log=PAIR_TABLELOG)
+    if pb is None:
+        return {}
+    (n, cs, tl, fl, norm, msv, init, payload, stots, pairs,
+     _e), _ = parse_pair_group(pb)
+    t2 = _pad_n16((n + 1) // 2) // 2048
+    hrows = _round8((cs + 127) // 128 + 16)
+    srows = stream_word_rows(hrows)
+    tblp = pack_pair_dtable(norm, pairs, tl)
+    dp = (jnp.asarray(np.full(G, cs, np.int32)),
+          jnp.asarray(np.broadcast_to(tblp, (G,) + tblp.shape).copy()),
+          jnp.asarray(np.broadcast_to(init.view(np.int32).reshape(8, 128),
+                                      (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(pack_stream_words(payload, srows),
+                                      (G, srows, 128)).copy()),
+          jnp.asarray(np.broadcast_to(stots.astype(np.int32),
+                                      (G,) + stots.shape).copy()))
+
+    qb = quad_compress(data, table_log=QUAD_TABLELOG)
+    (qn, qcs, qtl, _qf, qnorm, _qm, qinit, qpay, qst, quads,
+     _qe), _ = parse_quad_group(qb)
+    steps = _pad_q((qn + 3) // 4) // 1024
+    qhrows = _round8((qcs + 127) // 128 + 16)
+    qsrows = stream_word_rows(qhrows)
+    tblq = pack_quad_dtable(qnorm, quads, qtl)
+    dq = (jnp.asarray(np.full(G, qcs, np.int32)),
+          jnp.asarray(np.broadcast_to(tblq, (G,) + tblq.shape).copy()),
+          jnp.asarray(np.broadcast_to(qinit.view(np.int32).reshape(8, 128),
+                                      (G, 8, 128)).copy()),
+          jnp.asarray(np.broadcast_to(pack_stream_words(qpay, qsrows),
+                                      (G, qsrows, 128)).copy()),
+          jnp.asarray(np.broadcast_to(qst.astype(np.int32),
+                                      (G,) + qst.shape).copy()))
+
+    qp = prep_quad_group(data)
+    qid_pad = _pad_q(len(qp["ids"]))
+    qfc, qmg = pack_rans_ctables(qp["norm"])
+    qpad = np.full(qid_pad, qp["mfi"], np.uint32)
+    qpad[: len(qp["ids"])] = qp["ids"]
+    qea = (jnp.asarray(np.broadcast_to(qfc, (G, 2, 128)).copy()),
+           jnp.asarray(np.broadcast_to(qmg, (G, 2, 128)).copy()),
+           jnp.asarray(np.broadcast_to(
+               qpad.astype("<u4").view(np.int32).reshape(steps * 8, 128),
+               (G, steps * 8, 128)).copy()))
+    qhcap = _round8((qid_pad + 127) // 128 + 16)
+
+    return {
+        208: ("turbo PAIR decode (kernel, windowed 8-way — r5)",
+              lambda: rans_decode_w(*dp, t2, hrows, 8, tl, 64, False,
+                                    True, False, True)[1], total, "device"),
+        209: ("turbo QUAD decode (kernel, windowed 8-way S=128 — r5 "
+              "production default on p80)",
+              lambda: rans_decode_w(*dq, steps, qhrows, 8, qtl, 128, False,
+                                    False, False, False, True)[1], total,
+              "device"),
+        215: ("turbo QUAD encode (kernel, spc=1 rowloc — r5)",
+              lambda: rans_encode2(*qea, steps, qhcap, False, False, qtl,
+                                   True, 0, True, True)[2], total, "device"),
     }
 
 
