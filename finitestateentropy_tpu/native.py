@@ -35,7 +35,7 @@ def _load():
         from .utils.debug import debuglog
         debuglog(2, "native turbofse library unavailable; python twin fallback")
         return None
-    if getattr(lib, "tfse_version", lambda: 0)() < 3:
+    if getattr(lib, "tfse_version", lambda: 0)() < 4:
         # stale build from an older checkout: rebuild once and reload
         try:
             subprocess.run(["sh", str(_LIB_DIR / "build.sh")], check=True,
@@ -43,13 +43,17 @@ def _load():
             lib = ctypes.CDLL(str(_LIB))
         except Exception:
             return None
-        if lib.tfse_version() < 3:
+        if lib.tfse_version() < 4:
             return None
     lib.tfse_rans_compress_group.restype = ctypes.c_int64
     lib.tfse_rans_compress_group.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64]
     lib.tfse_rans_decompress_group.restype = ctypes.c_int64
     lib.tfse_rans_decompress_group.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.tfse_multibyte_decompress_group.restype = ctypes.c_int64
+    lib.tfse_multibyte_decompress_group.argtypes = [
         ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_uint64)]
     lib.tfse_prep_group.restype = ctypes.c_int64
@@ -176,9 +180,9 @@ def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
     """Multi-group threaded decompress (nthreads <= 0 = all cores).
 
     Multi-byte-wire groups (FLAG_PAIR / FLAG_QUAD) decode through the
-    host twin — frames from the TPU path with the r5 pair/quad dispatch
-    stay decodable on native-only hosts (slower for those groups; the C
-    pair/quad decoders are the native backlog item)."""
+    native C scalar decoder (tfse_multibyte_decompress_group) — frames
+    from the TPU path with the r5 pair/quad dispatch decode at native
+    speed on hosts without a TPU."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native turbofse library unavailable")
@@ -189,8 +193,6 @@ def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
         if r < 0:
             raise ValueError(f"native decompress failed: {r}")
         return dst.raw[:r]
-    from .turbo.rans import rans_decompress as _twin_decompress
-
     out = bytearray(total)
     cursor = 0          # blob cursor of the pending native span
     out_off = 0
@@ -204,9 +206,16 @@ def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
                 raise ValueError(f"native decompress failed: {r}")
             out[out_off : out_off + r] = dst.raw[:r]
             out_off += r
-        piece = _twin_decompress(blob[start : start + used])
-        out[out_off : out_off + len(piece)] = piece
-        out_off += len(piece)
+        seg = blob[start : start + used]
+        n_sym = int.from_bytes(seg[4:8], "little")
+        dstg = ctypes.create_string_buffer(max(n_sym, 1))
+        cons = ctypes.c_uint64(0)
+        r = lib.tfse_multibyte_decompress_group(seg, len(seg), dstg, n_sym,
+                                                ctypes.byref(cons))
+        if r < 0:
+            raise ValueError(f"native multibyte decompress failed: {r}")
+        out[out_off : out_off + r] = dstg.raw[:r]
+        out_off += r
         cursor = start + used
     if cursor < len(blob):
         seg = blob[cursor:]

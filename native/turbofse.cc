@@ -615,7 +615,7 @@ inline int sym_index(int t, int k) {
 
 extern "C" {
 
-int64_t tfse_version() { return 3; }  // 3: +u16 decoder
+int64_t tfse_version() { return 4; }  // 4: +pair/quad decoder
 
 // Group stats only (histogram + normalization + NCount) — the host-side
 // prep for the TPU encode path.  meta = [max_sv, mfs, nc_len] out.
@@ -1089,6 +1089,147 @@ int64_t tfse_rans_decompress_group(const uint8_t* blob, uint64_t len,
   if (cursor != 0) return -5;
   for (int k = 0; k < kLanes; ++k)
     if (x[k] != kL) return -5;
+  *consumed = pos;
+  return h.n_sym;
+}
+
+// ---------------------------------------------------------------------
+// Multi-byte-wire group decode (r5: FLAG_PAIR=32 order-1 / FLAG_QUAD=128
+// order-3, turbo/pair.py + turbo/quad.py).  Group layout after the 16 B
+// header: ncount (4B-pad) | id->value LUT (u16/u32) (4B-pad) | escapes
+// (pair: only when FLAG_PAIRESC=64, u32 n + n x (u32 pos, u16 val),
+// 4B-pad; quad: ALWAYS, u32 n + n x (u32 pos, u32 val)) | 1024 u32 init
+// states | steptots (redundant here; skipped) | payload halfwords.
+// n_sym counts BYTES; symbols are 2- or 4-byte groups over <= 256 ids.
+// Scalar loop (AVX2 variant is backlog); the per-step structure mirrors
+// tfse_rans_decompress_group.
+int64_t tfse_multibyte_decompress_group(const uint8_t* blob, uint64_t len,
+                                        uint8_t* dst, uint64_t cap,
+                                        uint64_t* consumed) {
+  if (len < 16) return -1;
+  Header h = get_header(blob);
+  if (h.magic != kMagic) return -2;
+  const bool quad = (h.flags & 128) != 0;
+  if (!quad && !(h.flags & 32)) return -2;
+  const int sym_bytes = quad ? 4 : 2;
+  uint64_t pos = 16;
+
+  int16_t norm[256];
+  int max_sv = 0, tl = 0;
+  int avail = int(len - pos < 520 ? len - pos : 520);
+  int used = read_ncount(norm, &max_sv, &tl, blob + pos, avail, 255);
+  if (used < 0 || tl != h.table_log) return -4;
+  if (tl < kMinTableLog || tl > 12) return -4;
+  pos += (uint64_t(h.ncount_len) + 3) & ~3ull;
+
+  uint64_t lut_len = uint64_t(sym_bytes) * (max_sv + 1);
+  if (pos + lut_len > len) return -3;
+  const uint8_t* lut = blob + pos;
+  pos += quad ? lut_len : ((lut_len + 3) & ~3ull);
+
+  uint64_t n_units = (uint64_t(h.n_sym) + sym_bytes - 1) / sym_bytes;
+  uint64_t n_esc = 0;
+  const uint8_t* esc = nullptr;
+  if (quad || (h.flags & 64)) {
+    if (pos + 4 > len) return -3;
+    n_esc = load_le32(blob + pos);
+    uint64_t rec = quad ? 8 : 6;
+    uint64_t eb = 4 + rec * n_esc;
+    if (n_esc > n_units || pos + eb > len) return -3;
+    esc = blob + pos + 4;
+    pos += quad ? eb : ((eb + 3) & ~3ull);
+  }
+
+  if (pos + 4 * kLanes > len || h.n_sym > cap) return -3;
+  const uint8_t* init = blob + pos;
+  pos += 4 * kLanes;
+
+  // units padded to whole supercycles: pair pads to 2048 u16 symbols,
+  // quad to 1024 ids (= 4096 output bytes either way)
+  uint64_t unit_pad = quad ? ((n_units + kLanes - 1) / kLanes * kLanes)
+                           : ((n_units + 2047) / 2048 * 2048);
+  int T = int(unit_pad / kLanes);
+  if (h.flags & kFlagStepTots) {
+    uint64_t sect;
+    if (h.flags & kFlagRows4) {
+      if (pos + 4 > len) return -3;
+      sect = 4 + 4ull * load_le32(blob + pos) + uint64_t(T) * 4;
+    } else {
+      sect = uint64_t(T) * 8;
+    }
+    if (pos + sect > len) return -3;
+    pos += sect;
+  } else if (quad) {
+    return -4;  // the quad wire is steptots-only by format
+  }
+  if (pos + 2 * h.csize_hw > len) return -3;
+  const uint8_t* hw = blob + pos;
+  pos += 2 * h.csize_hw;
+
+  // slot -> (slot-cumul) << 20 | freq << 8 | id  (ids < 256 fit the
+  // byte-wire pack)
+  static thread_local uint32_t tbl[1 << kMaxTableLog];
+  {
+    int slot = 0;
+    for (int s = 0; s <= max_sv; ++s) {
+      int f = norm[s] == -1 ? 1 : norm[s];
+      for (int j = 0; j < f; ++j, ++slot)
+        tbl[slot] = (uint32_t(j) << 20) | (uint32_t(f) << 8) | uint32_t(s);
+    }
+    if (slot != (1 << tl)) return -4;
+  }
+
+  alignas(32) static thread_local uint32_t x[kLanes];
+  static thread_local uint8_t ids[kLanes];
+  static thread_local uint8_t flags[kLanes];
+  std::memcpy(x, init, 4 * kLanes);
+  int64_t cursor = h.csize_hw;
+
+  for (int t = 0; t < T; ++t) {
+    for (int k = 0; k < kLanes; ++k) {
+      uint32_t xv = x[k];
+      uint32_t slot = xv & ((1u << tl) - 1);
+      uint32_t e = tbl[slot];
+      ids[k] = uint8_t(e);
+      xv = ((e >> 8) & 0xFFF) * (xv >> tl) + (e >> 20);
+      flags[k] = xv < kL;
+      x[k] = xv;
+    }
+    for (int k = 0; k < kLanes; ++k) {
+      if (flags[k]) {
+        --cursor;
+        uint32_t v = cursor >= 0 && uint64_t(cursor) < h.csize_hw
+                         ? load_le16(hw + 2 * cursor) : 0;
+        x[k] = (x[k] << 16) | v;
+      }
+    }
+    // scatter LUT values at each lane's unit position
+    for (int k = 0; k < kLanes; ++k) {
+      // pair lane order (turbo/rans16._unlane_view16): unit index
+      // (t>>1)*2048 + 2k + (t&1); quad: t*1024 + k
+      uint64_t u = quad ? uint64_t(t) * kLanes + k
+                        : uint64_t(t >> 1) * 2048 + 2ull * k + (t & 1);
+      if (u >= n_units) continue;
+      uint64_t off = u * sym_bytes;
+      uint64_t nb = h.n_sym - off < uint64_t(sym_bytes) ? h.n_sym - off
+                                                        : uint64_t(sym_bytes);
+      std::memcpy(dst + off, lut + uint64_t(sym_bytes) * ids[k], nb);
+    }
+  }
+  if (cursor != 0) return -5;
+  for (int k = 0; k < kLanes; ++k)
+    if (x[k] != kL) return -5;
+
+  // escape patch (unit positions carry raw values)
+  for (uint64_t i = 0; i < n_esc; ++i) {
+    const uint8_t* r = esc + i * (quad ? 8 : 6);
+    uint64_t u = load_le32(r);
+    if (u >= n_units) return -4;
+    uint64_t off = u * sym_bytes;
+    uint64_t nb = h.n_sym - off < uint64_t(sym_bytes) ? h.n_sym - off
+                                                      : uint64_t(sym_bytes);
+    std::memcpy(dst + off, r + 4, nb);
+  }
   *consumed = pos;
   return h.n_sym;
 }
