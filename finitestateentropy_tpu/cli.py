@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quad", type=int, default=-1, choices=[-1, 0, 1],
                    help="turbo order-3 quad wire (4 bytes/decode-step): "
                         "-1 auto per group (default), 0 off, 1 force")
+    p.add_argument("--pair-tlog", type=int, default=0,
+                   help="pair-wire tableLog (0 = default 9; measured "
+                        "37.5 GB/s @ ratio 8.07 on p80)")
+    p.add_argument("--quad-tlog", type=int, default=0,
+                   help="quad-wire tableLog (0 = default 10 at 50.5 GB/s "
+                        "@ 7.77; 9 = speed frontier 69 GB/s @ 7.13; "
+                        "11 = ratio 8.13 @ 29)")
     p.add_argument("input", nargs="?")
     p.add_argument("output", nargs="?")
     p.add_argument("rest", nargs="*",
@@ -309,7 +316,9 @@ def _turbo_main(args, verbosity: int) -> int:
                                      steptots=sect != "none",
                                      totals_only=sect == "totals",
                                      mesh=args.mesh, pair=args.pair,
-                                     quad=args.quad, **kw)
+                                     quad=args.quad,
+                                     pair_table_log=args.pair_tlog,
+                                     quad_table_log=args.quad_tlog, **kw)
         _write_output(dst, blob)
         if verbosity >= 2:
             ratio = 100.0 * len(blob) / max(len(data), 1)

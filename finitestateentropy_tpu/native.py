@@ -193,40 +193,57 @@ def rans_decompress_native(blob: bytes, nthreads: int = 0) -> bytes:
         if r < 0:
             raise ValueError(f"native decompress failed: {r}")
         return dst.raw[:r]
-    out = bytearray(total)
-    cursor = 0          # blob cursor of the pending native span
-    out_off = 0
-    for start, used, o_off in pair_spans:
+    # plan (kind, src span, out span) tasks, then fan out: the C calls
+    # release the GIL, so multibyte groups thread like the byte spans
+    # (which the C pool threads internally)
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = []           # (is_multibyte, start, length, out_off, out_len)
+    cursor, out_off = 0, 0
+    for start, used, _o in pair_spans:
         if start > cursor:
-            seg = blob[cursor:start]
-            st, _ = _walk_groups(seg)
-            dst = ctypes.create_string_buffer(max(st, 1))
-            r = lib.tfse_rans_decompress(seg, len(seg), dst, st, nthreads)
-            if r < 0:
-                raise ValueError(f"native decompress failed: {r}")
-            out[out_off : out_off + r] = dst.raw[:r]
-            out_off += r
-        seg = blob[start : start + used]
-        n_sym = int.from_bytes(seg[4:8], "little")
-        dstg = ctypes.create_string_buffer(max(n_sym, 1))
-        cons = ctypes.c_uint64(0)
-        r = lib.tfse_multibyte_decompress_group(seg, len(seg), dstg, n_sym,
-                                                ctypes.byref(cons))
-        if r < 0:
-            raise ValueError(f"native multibyte decompress failed: {r}")
-        out[out_off : out_off + r] = dstg.raw[:r]
-        out_off += r
+            seg_total, _ = _walk_groups(blob[cursor:start])
+            tasks.append((False, cursor, start - cursor, out_off, seg_total))
+            out_off += seg_total
+        n_sym = int.from_bytes(blob[start + 4 : start + 8], "little")
+        tasks.append((True, start, used, out_off, n_sym))
+        out_off += n_sym
         cursor = start + used
     if cursor < len(blob):
-        seg = blob[cursor:]
-        st, _ = _walk_groups(seg)
-        dst = ctypes.create_string_buffer(max(st, 1))
-        r = lib.tfse_rans_decompress(seg, len(seg), dst, st, nthreads)
+        seg_total, _ = _walk_groups(blob[cursor:])
+        tasks.append((False, cursor, len(blob) - cursor, out_off, seg_total))
+        out_off += seg_total
+    out = bytearray(out_off)
+    view = memoryview(out)
+
+    def run(task):
+        is_mb, start, length, o_off, o_len = task
+        seg = blob[start : start + length]
+        dst = ctypes.create_string_buffer(max(o_len, 1))
+        if is_mb:
+            cons = ctypes.c_uint64(0)
+            r = lib.tfse_multibyte_decompress_group(seg, len(seg), dst,
+                                                    o_len, ctypes.byref(cons))
+        else:
+            r = lib.tfse_rans_decompress(seg, len(seg), dst, o_len, nthreads)
         if r < 0:
             raise ValueError(f"native decompress failed: {r}")
-        out[out_off : out_off + r] = dst.raw[:r]
-        out_off += r
-    return bytes(out[:out_off])
+        if r != o_len:
+            raise ValueError(
+                f"native decompress size mismatch: {r} != {o_len}")
+        view[o_off : o_off + r] = dst.raw[:r]
+        return r
+
+    import os
+
+    workers = min(len(tasks), os.cpu_count() or 1)
+    if workers > 1:
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            list(ex.map(run, tasks))
+    else:
+        for t in tasks:
+            run(t)
+    return bytes(out)
 
 
 def _walk_groups16(blob: bytes) -> int:

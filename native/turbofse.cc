@@ -1184,7 +1184,68 @@ int64_t tfse_multibyte_decompress_group(const uint8_t* blob, uint64_t len,
   static thread_local uint8_t flags[kLanes];
   std::memcpy(x, init, 4 * kLanes);
   int64_t cursor = h.csize_hw;
+  // expand the LUT to 256 u32 entries (pair values zero-extended) so the
+  // scatter is a single table index either way
+  alignas(32) uint32_t lut32[256];
+  for (int i = 0; i < 256; ++i) {
+    if (i <= max_sv)
+      lut32[i] = quad ? load_le32(lut + 4 * i) : load_le16(lut + 2 * i);
+    else
+      lut32[i] = 0;
+  }
+  // full supercycles whose 4096 output bytes all fit: vector fast path
+  uint64_t full_words = h.n_sym / 4;   // whole u32 words in dst
 
+#if defined(__AVX2__)
+  static thread_local std::vector<uint8_t> hw_scratch;
+  hw_scratch.resize(size_t(2 * h.csize_hw + 32));
+  std::memcpy(hw_scratch.data(), hw, size_t(2 * h.csize_hw));
+  alignas(32) static thread_local uint8_t idbuf[2][kLanes];
+  alignas(32) static thread_local uint32_t vals[2][kLanes];
+
+  const int t_per_word = quad ? 1 : 2;   // steps per output word row
+  for (int tw = 0; tw < T / t_per_word; ++tw) {
+    for (int p = 0; p < t_per_word; ++p)
+      cursor = decode_step_avx2(x, tbl, tl, hw_scratch.data(),
+                                int64_t(h.csize_hw), cursor, idbuf[p]);
+    // LUT gather: 8 ids -> 8 u32 values per AVX2 gather
+    for (int p = 0; p < t_per_word; ++p)
+      for (int k = 0; k < kLanes; k += 8) {
+        __m128i idb = _mm_loadl_epi64(
+            reinterpret_cast<const __m128i*>(idbuf[p] + k));
+        __m256i idx = _mm256_cvtepu8_epi32(idb);
+        __m256i v = _mm256_i32gather_epi32(
+            reinterpret_cast<const int*>(lut32), idx, 4);
+        _mm256_store_si256(reinterpret_cast<__m256i*>(vals[p] + k), v);
+      }
+    uint64_t word_base = uint64_t(tw) * kLanes;  // output word row
+    if (word_base + kLanes <= full_words) {
+      uint32_t* ob = reinterpret_cast<uint32_t*>(dst) + word_base;
+      if (quad) {
+        std::memcpy(ob, vals[0], 4 * kLanes);
+      } else {
+        for (int k = 0; k < kLanes; ++k)
+          ob[k] = vals[0][k] | (vals[1][k] << 16);
+      }
+    } else {
+      // ragged tail: per-unit bounded scatter
+      for (int p = 0; p < t_per_word; ++p) {
+        int t = tw * t_per_word + p;
+        for (int k = 0; k < kLanes; ++k) {
+          uint64_t u = quad ? uint64_t(t) * kLanes + k
+                            : uint64_t(t >> 1) * 2048 + 2ull * k + (t & 1);
+          if (u >= n_units) continue;
+          uint64_t off = u * sym_bytes;
+          uint64_t nb = h.n_sym - off < uint64_t(sym_bytes)
+                            ? h.n_sym - off : uint64_t(sym_bytes);
+          uint32_t v = vals[p][k];
+          std::memcpy(dst + off, &v, nb);
+        }
+      }
+    }
+  }
+#else
+  (void)full_words;
   for (int t = 0; t < T; ++t) {
     for (int k = 0; k < kLanes; ++k) {
       uint32_t xv = x[k];
@@ -1216,6 +1277,7 @@ int64_t tfse_multibyte_decompress_group(const uint8_t* blob, uint64_t len,
       std::memcpy(dst + off, lut + uint64_t(sym_bytes) * ids[k], nb);
     }
   }
+#endif
   if (cursor != 0) return -5;
   for (int k = 0; k < kLanes; ++k)
     if (x[k] != kL) return -5;
