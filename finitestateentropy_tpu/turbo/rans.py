@@ -76,6 +76,11 @@ def _pack_rows4(tots: np.ndarray) -> bytes | None:
     if 4 + 4 * len(exc) >= 4 * T:
         return None
     nib = np.minimum(tots, 15).astype(np.uint8)
+    if T % 2:
+        # odd step counts (quad wire: groups pad to 1024 ids, so T can be
+        # odd) pack a zero high-nibble row; without this the numpy |
+        # silently BROADCAST (T//2+1, 8) | (T//2, 8) rows — corrupt wire
+        nib = np.concatenate([nib, np.zeros((1, 8), np.uint8)])
     packed = (nib[0::2] | (nib[1::2] << 4)).reshape(-1)
     out = struct.pack("<I", len(exc))
     if len(exc):
@@ -97,19 +102,21 @@ def _unpack_rows4(buf: bytes, T: int) -> tuple[np.ndarray, int]:
         raise ValueError("turbo-rans rows4 section truncated")
     (n_exc,) = struct.unpack_from("<I", buf, 0)
     pos = 4 + 4 * n_exc
-    if n_exc > T * 8 or len(buf) < pos + T * 4:
+    Tp = T + (T & 1)                  # odd T ships a zero-padded row
+    if n_exc > T * 8 or len(buf) < pos + Tp * 4:
         raise ValueError("turbo-rans rows4 section corrupt")
-    packed = np.frombuffer(buf[pos : pos + T * 4], np.uint8).reshape(T // 2, 8)
-    tots = np.zeros((T, 8), np.uint8)
+    packed = np.frombuffer(buf[pos : pos + Tp * 4], np.uint8).reshape(Tp // 2, 8)
+    tots = np.zeros((Tp, 8), np.uint8)
     tots[0::2] = packed & 15
     tots[1::2] = packed >> 4
+    tots = tots[:T]
     if n_exc:
         e = np.frombuffer(buf[4:pos], np.uint8).reshape(n_exc, 4)
         steps = e[:, :2].copy().view("<u2").reshape(-1)
         if (steps >= T).any() or (e[:, 2] >= 8).any():
             raise ValueError("turbo-rans rows4 escape out of range")
         tots[steps, e[:, 2]] = e[:, 3]
-    return tots, pos + T * 4
+    return tots, pos + Tp * 4
 
 
 def rans_freqs(norm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -1150,10 +1150,11 @@ int64_t tfse_multibyte_decompress_group(const uint8_t* blob, uint64_t len,
                            : ((n_units + 2047) / 2048 * 2048);
   int T = int(unit_pad / kLanes);
   if (h.flags & kFlagStepTots) {
+    uint64_t Tp = uint64_t(T) + (uint64_t(T) & 1);  // odd T: zero-pad row
     uint64_t sect;
     if (h.flags & kFlagRows4) {
       if (pos + 4 > len) return -3;
-      sect = 4 + 4ull * load_le32(blob + pos) + uint64_t(T) * 4;
+      sect = 4 + 4ull * load_le32(blob + pos) + Tp * 4;
     } else {
       sect = uint64_t(T) * 8;
     }

@@ -42,6 +42,21 @@ class TestTwin:
         data = _p80((1 << 14) + tail)
         assert quad_decompress(quad_compress(data)) == data
 
+    @pytest.mark.parametrize("n", [9000, 7000, 12288 + 1])
+    def test_roundtrip_odd_step_counts(self, n):
+        """Quad groups pad to 1024 ids, so the steptots row count T can be
+        ODD — the FLAG_ROWS4 nibble packer silently broadcast-corrupted
+        those sections until r5 (the byte/pair wires always have even T,
+        so only quad reached this).  Also exercises the native decoder's
+        odd-T section skip."""
+        data = _p80(n)
+        blob = quad_compress(data)
+        assert blob is not None
+        assert quad_decompress(blob) == data
+        from finitestateentropy_tpu import native
+        if native.available():
+            assert native.rans_decompress_native(blob) == data
+
     def test_roundtrip_escapes(self):
         data = _escape_corpus(1 << 16)
         plan = quad_plan(data)

@@ -119,7 +119,10 @@ def test_rans_device_kernels_match_twin_interpret():
 
     data = generate_proba(80)[:40960]
     twin = rans_compress(data)
-    dev = turbo_compress_device(data, group_size=40960, interpret=True)
+    # byte-wire parity test: pin the byte wire (r5 auto dispatch would
+    # pick the pair/quad wires on p80)
+    dev = turbo_compress_device(data, group_size=40960, interpret=True,
+                                pair=0, quad=0)
     assert dev == twin                          # encoder bit-exact vs twin
     assert turbo_decompress_device(dev, interpret=True) == data
     assert rans_decompress(dev) == data         # twin decodes device frames
@@ -208,7 +211,8 @@ def test_tablelog_speed_modes_interpret():
 
     data = generate_proba(80)[:100000]
     for tlog in (9, 10):
-        blob = turbo_compress_device(data, interpret=True, table_log=tlog)
+        blob = turbo_compress_device(data, interpret=True, table_log=tlog,
+                                     pair=0, quad=0)
         assert blob == rans_compress(data, table_log=tlog)
         assert turbo_decompress_device(blob, interpret=True) == data
 
