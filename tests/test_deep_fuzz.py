@@ -172,28 +172,40 @@ def test_deep_fuzz_chunked_groups():
 
 
 def test_deep_fuzz_pair(corpora):
-    """Order-1 pair wire (turbo/pair.py) twin fuzz at ~N/50 (twin-speed
-    scaled, like the other twin suites): eligibility dispatch, roundtrip,
-    escapes, and the corruption contract."""
+    """Multi-byte wires (turbo/pair.py order-1 + turbo/quad.py order-3)
+    twin fuzz at ~N/50 (twin-speed scaled, like the other twin suites):
+    eligibility dispatch, roundtrip (incl. quad's odd step counts),
+    escapes, native decode parity, and the corruption contract."""
+    from finitestateentropy_tpu import native
     from finitestateentropy_tpu.turbo.pair import pair_compress, pair_decompress
+    from finitestateentropy_tpu.turbo.quad import quad_compress, quad_decompress
 
+    have_native = native.available()
     rng = np.random.default_rng(SEED + 6)
     iters = max(6, N_ITERS // 50)
     for it in range(iters):
         src = _slice(rng, corpora)
         tlog = int(rng.choice([9, 10, 11]))
-        blob = pair_compress(src, table_log=tlog,
-                             steptots=bool(rng.integers(0, 2)))
+        if rng.integers(0, 2):
+            blob = quad_compress(src, table_log=tlog)
+            dec = quad_decompress
+        else:
+            blob = pair_compress(src, table_log=tlog,
+                                 steptots=bool(rng.integers(0, 2)))
+            dec = pair_decompress
         if blob is None:
-            continue  # ineligible (wide pair alphabet / tiny / constant)
-        assert pair_decompress(blob) == src, f"iter {it} seed {SEED + 6}"
+            continue  # ineligible (wide alphabet / tiny / constant)
+        assert dec(blob) == src, f"iter {it} seed {SEED + 6}"
+        if have_native and it % 4 == 0:
+            assert native.rans_decompress_native(blob) == src, \
+                f"iter {it}: native multibyte decode diverged"
         if len(blob) > 6200:
             b = bytearray(blob)
             b[-int(rng.integers(1, 16))] ^= 1 << int(rng.integers(0, 8))
             try:
-                out2 = pair_decompress(bytes(b))
+                out2 = dec(bytes(b))
                 assert out2 != src, \
-                    f"iter {it}: flipped pair payload decoded to original"
+                    f"iter {it}: flipped payload decoded to original"
             except (ValueError, FSEError):
                 pass
 
